@@ -1,0 +1,101 @@
+"""Unified configuration for the docking framework.
+
+The reference scatters hyperparameters across argparse scripts and model
+files [U: DeepLocalProteinDocking train/dock scripts]; here a single
+dataclass covers grid geometry, model width, sweep size, training, and the
+device mesh, and is serialized alongside checkpoints.  The five
+``BASELINE.json: configs`` entries become named presets in ``PRESETS``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DockConfig:
+    # --- grid geometry (reference: TypedCoords2Volume args) ---
+    grid_size: int = 128          # L: voxels per edge
+    resolution: float = 1.25      # Angstrom per voxel
+    sigma: float = 1.0            # Gaussian splat width (Angstrom)
+    splat_window: int = 6         # voxels per axis of the local splat window
+    num_atom_types: int = 11      # fixed by the 11-type chemistry table
+
+    # --- representation model (reference: EQRepresentation) ---
+    rep_features: Tuple[int, ...] = (32, 32, 16)  # conv widths; last = C_rep
+    rep_kernel: int = 3
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-heavy serving
+
+    # --- sweep (reference: EQDocker + rotation sets) ---
+    num_rotations: int = 13000
+    rotation_chunk: int = 16      # rotations per scan step (batched FFTs)
+    top_k: int = 32               # poses kept per complex
+    local_cone_deg: Optional[float] = None  # local docking: cone half-angle
+    nms_rmsd: float = 5.0         # greedy clustering suppression radius (A)
+
+    # --- training (reference: ranking hinge trainer) ---
+    num_decoys: int = 32          # decoys per complex per step
+    hinge_margin: float = 1.0
+    near_native_rmsd: float = 5.0  # LRMSD below which a decoy is "positive"
+    decoy_max_angle_deg: float = 60.0
+    decoy_max_shift: float = 12.0  # Angstrom
+    learning_rate: float = 1e-3
+    batch_complexes: int = 2      # complexes per train step
+
+    # --- mesh (NEW vs reference: it was single-GPU, SURVEY.md §2.3) ---
+    mesh_rot: int = 1             # devices along the rotation axis
+    mesh_batch: int = 1           # devices along the complex/data axis
+
+    # --- misc ---
+    seed: int = 0
+
+    @property
+    def c_rep(self) -> int:
+        return self.rep_features[-1]
+
+    @property
+    def box_extent(self) -> float:
+        return self.grid_size * self.resolution
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "DockConfig":
+        d = json.loads(text)
+        d["rep_features"] = tuple(d.get("rep_features", cls.rep_features))
+        return cls(**d)
+
+    def replace(self, **kw) -> "DockConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The five BASELINE.json configs as named presets.
+PRESETS = {
+    # configs[0]: single-complex rigid FFT docking, shape channels only,
+    # coarse ~100 rotations, 64^3 grid (CPU-checkable).
+    "tiny-shape": DockConfig(
+        grid_size=64, resolution=1.5, num_rotations=96, rotation_chunk=8,
+        top_k=16, rep_features=(8,),
+    ),
+    # configs[1]: learned multi-channel representation scoring, one
+    # rotation batch, pretrained weights.
+    "rep-score": DockConfig(
+        grid_size=96, num_rotations=16, rotation_chunk=16, top_k=16,
+    ),
+    # configs[2]: full-resolution sweep with fused top-K + NMS.
+    "full-sweep": DockConfig(
+        grid_size=128, num_rotations=13000, rotation_chunk=16, top_k=64,
+    ),
+    # configs[3]: end-to-end representation training.
+    "train": DockConfig(
+        grid_size=96, num_rotations=512, rotation_chunk=8,
+        num_decoys=32, batch_complexes=2,
+    ),
+    # configs[4]: batched multi-complex benchmark eval on a v5e-8 slice.
+    "benchmark-v5e8": DockConfig(
+        grid_size=128, num_rotations=13000, rotation_chunk=16, top_k=64,
+        mesh_rot=8, mesh_batch=1,
+    ),
+}

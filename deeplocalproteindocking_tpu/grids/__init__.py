@@ -1,0 +1,7 @@
+from deeplocalproteindocking_tpu.grids.voxelize import (  # noqa: F401
+    splat, default_origin,
+)
+from deeplocalproteindocking_tpu.grids.rotate import (  # noqa: F401
+    rotate_volume, rotate_volumes,
+)
+from deeplocalproteindocking_tpu.grids.xplor import write_xplor  # noqa: F401

@@ -1,0 +1,51 @@
+"""Volume rotation about the grid center by trilinear resampling.
+
+Capability parity with the reference's ``VolumeRotation`` grid-resampling
+stage [U: TorchProteinLibrary/Volume — mount empty, unverified; the
+"rotated-ligand grid resampling" of BASELINE.json: north_star].  The
+reference uses a CUDA resampling kernel (affine_grid/grid_sample style);
+here the inverse-mapped lattice is sampled with
+``jax.scipy.ndimage.map_coordinates`` (order=1), vmapped over channels
+and rotations, which XLA lowers to fused gathers.
+
+Design note (SURVEY.md §2.1 N6): for *density* volumes the framework
+prefers rotating atom coordinates and re-splatting (exact, no
+interpolation smear).  Grid resampling is for rotating CNN
+*representation* volumes, which are computed once per ligand and reused
+across the ~10^4-rotation sweep.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+
+def _source_lattice(R: jax.Array, L: int) -> jax.Array:
+    """Inverse-mapped sample coordinates ``[3, L, L, L]``.
+
+    Output voxel at index x reads the input at ``R^T (x - c) + c`` with
+    ``c = (L-1)/2`` (rotation about the geometric grid center), matching
+    rotation of the underlying atom coordinates about coordinate 0 when
+    the volume was splatted on a zero-centered box.
+    """
+    c = (L - 1) / 2.0
+    ax = jnp.arange(L, dtype=jnp.float32) - c
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    pts = jnp.stack([gx, gy, gz])                     # [3, L, L, L]
+    src = jnp.einsum("ji,i...->j...", R, pts) + c     # R^T (x - c) + c
+    return src
+
+
+def rotate_volume(vol: jax.Array, R: jax.Array, *, order: int = 1) -> jax.Array:
+    """Rotate ``[L, L, L, C]`` volume by ``R`` about the grid center."""
+    L = vol.shape[0]
+    src = _source_lattice(R, L)
+    sample = lambda ch: map_coordinates(ch, list(src), order=order,
+                                        mode="constant", cval=0.0)
+    return jax.vmap(sample, in_axes=-1, out_axes=-1)(vol)
+
+
+def rotate_volumes(vol: jax.Array, Rs: jax.Array, *, order: int = 1) -> jax.Array:
+    """Rotate one volume by a batch of rotations -> ``[B, L, L, L, C]``."""
+    return jax.vmap(lambda R: rotate_volume(vol, R, order=order))(Rs)

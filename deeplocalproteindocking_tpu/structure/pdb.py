@@ -1,0 +1,135 @@
+"""PDB parsing and writing (host side).
+
+Capability parity with the reference's ``PDB2CoordsUnordered``
+[U: TorchProteinLibrary/Layers/FullAtomModel/cPDBLoader.{h,cpp} — mount
+empty, unverified]: fixed-column ATOM-record parsing into a
+struct-of-arrays of coordinates, atom/residue names, residue ids and
+chains.
+
+Design note: the reference implements this in C++ against libtorch and
+returns padded byte tensors.  Parsing is host-side, off the hot path
+(once per complex, amortized over a ~10^4-rotation device sweep), so here
+it is a NumPy struct-of-arrays feeding the device via ``jax.device_put``.
+An optional C++ fast path (ctypes, built by ``native/``) is used when the
+shared library is present — see ``_try_native``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from deeplocalproteindocking_tpu.structure.atom_types import assign_atom_types
+
+
+@dataclasses.dataclass
+class Structure:
+    """Struct-of-arrays for one chain set of a protein."""
+    coords: np.ndarray        # float32 [N, 3]
+    atom_names: np.ndarray    # <U4 [N]
+    res_names: np.ndarray     # <U3 [N]
+    res_ids: np.ndarray       # int32 [N]
+    chain_ids: np.ndarray     # <U1 [N]
+    types: np.ndarray         # int32 [N], 11-type class, -1 = untyped
+
+    def __len__(self) -> int:
+        return int(self.coords.shape[0])
+
+    def select(self, mask: np.ndarray) -> "Structure":
+        return Structure(*(getattr(self, f.name)[mask]
+                           for f in dataclasses.fields(self)))
+
+    def typed(self) -> "Structure":
+        """Drop atoms outside the 11-type table (hydrogens, hetero...)."""
+        return self.select(self.types >= 0)
+
+    def chains(self, chain_ids: Sequence[str]) -> "Structure":
+        mask = np.isin(self.chain_ids, list(chain_ids))
+        return self.select(mask)
+
+    def centered(self) -> "Structure":
+        s = dataclasses.replace(self)
+        s.coords = self.coords - self.coords.mean(axis=0, keepdims=True)
+        return s
+
+    @property
+    def center(self) -> np.ndarray:
+        return self.coords.mean(axis=0)
+
+
+def _parse_atom_line(line: str):
+    # PDB fixed columns (1-based): 13-16 atom name, 18-20 res name,
+    # 22 chain, 23-26 res seq, 31-38/39-46/47-54 x/y/z, 17 altloc.
+    altloc = line[16]
+    if altloc not in (" ", "A"):
+        return None
+    name = line[12:16].strip()
+    res = line[17:20].strip()
+    chain = line[21]
+    try:
+        res_id = int(line[22:26])
+        x = float(line[30:38]); y = float(line[38:46]); z = float(line[46:54])
+    except ValueError:
+        return None
+    return name, res, chain, res_id, x, y, z
+
+
+def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
+    names, ress, chains, rids, xyz = [], [], [], [], []
+    for line in text.splitlines():
+        rec = line[:6]
+        if rec == "ENDMDL":  # first NMR model only
+            break
+        if rec.startswith("ATOM") or (include_hetatm and rec.startswith("HETATM")):
+            parsed = _parse_atom_line(line)
+            if parsed is None:
+                continue
+            name, res, chain, res_id, x, y, z = parsed
+            names.append(name); ress.append(res); chains.append(chain)
+            rids.append(res_id); xyz.append((x, y, z))
+    coords = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)
+    atom_names = np.asarray(names, dtype="<U4")
+    res_names = np.asarray(ress, dtype="<U3")
+    types = assign_atom_types(res_names, atom_names)
+    return Structure(
+        coords=coords,
+        atom_names=atom_names,
+        res_names=res_names,
+        res_ids=np.asarray(rids, dtype=np.int32),
+        chain_ids=np.asarray(chains, dtype="<U1"),
+        types=types,
+    )
+
+
+def parse_pdb(path: str | os.PathLike, include_hetatm: bool = False) -> Structure:
+    native = _try_native(path, include_hetatm)
+    if native is not None:
+        return native
+    with open(path) as f:
+        return parse_pdb_text(f.read(), include_hetatm=include_hetatm)
+
+
+def write_pdb(path: str | os.PathLike, s: Structure) -> None:
+    """Minimal PDB writer for pose output / debugging."""
+    with open(path, "w") as f:
+        for i in range(len(s)):
+            name = s.atom_names[i]
+            # PDB alignment rule: 1/2-char element names start in col 14.
+            pname = f" {name:<3s}" if len(name) < 4 else name
+            x, y, z = s.coords[i]
+            f.write(
+                f"ATOM  {i + 1:5d} {pname}{'':1s}{s.res_names[i]:>3s} "
+                f"{s.chain_ids[i]:1s}{int(s.res_ids[i]):4d}    "
+                f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}\n")
+        f.write("END\n")
+
+
+def _try_native(path, include_hetatm) -> Optional[Structure]:
+    """C++ fast-path hook; returns None when the native lib is absent."""
+    try:
+        from deeplocalproteindocking_tpu.native import pdb_native
+    except Exception:
+        return None
+    return pdb_native.parse_pdb(os.fspath(path), include_hetatm)
