@@ -1,0 +1,199 @@
+"""Command-line entry points (reference P10: train / dock / benchmark /
+generate-dataset argparse scripts [U: DeepLocalProteinDocking top-level
+*.py — mount empty, unverified]).
+
+Usage: ``python -m deeplocalproteindocking_tpu.cli <command> ...``
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_config_args(p: argparse.ArgumentParser):
+    p.add_argument("--preset", default=None,
+                   help="named preset from config.PRESETS")
+    p.add_argument("--grid-size", type=int, default=None)
+    p.add_argument("--resolution", type=float, default=None)
+    p.add_argument("--num-rotations", type=int, default=None)
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--local-cone-deg", type=float, default=None)
+    p.add_argument("--mesh-rot", type=int, default=None)
+    p.add_argument("--profile", default=None,
+                   help="directory for a jax.profiler trace")
+
+
+def _build_config(args):
+    from deeplocalproteindocking_tpu.config import DockConfig, PRESETS
+    cfg = PRESETS[args.preset] if args.preset else DockConfig()
+    overrides = {k: getattr(args, a) for k, a in [
+        ("grid_size", "grid_size"), ("resolution", "resolution"),
+        ("num_rotations", "num_rotations"), ("top_k", "top_k"),
+        ("local_cone_deg", "local_cone_deg"), ("mesh_rot", "mesh_rot"),
+    ] if getattr(args, a, None) is not None}
+    return cfg.replace(**overrides)
+
+
+def _build_pipeline(cfg, checkpoint=None):
+    from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+    from deeplocalproteindocking_tpu.parallel.mesh import make_mesh
+    mesh = None
+    if cfg.mesh_rot > 1 or cfg.mesh_batch > 1:
+        mesh = make_mesh(rot=cfg.mesh_rot, batch=cfg.mesh_batch)
+    pipe = DockingPipeline(config=cfg, mesh=mesh)
+    if checkpoint:
+        from deeplocalproteindocking_tpu.train.trainer import Trainer
+        state = Trainer(cfg).restore(checkpoint)
+        pipe.params = state.params
+    return pipe
+
+
+def cmd_dock(args):
+    from deeplocalproteindocking_tpu.structure.pdb import (
+        parse_pdb, write_pdb)
+    from deeplocalproteindocking_tpu.utils.profiling import maybe_trace
+    import dataclasses
+    cfg = _build_config(args)
+    pipe = _build_pipeline(cfg, args.checkpoint)
+    rec = parse_pdb(args.receptor).typed()
+    lig = parse_pdb(args.ligand).typed()
+    with maybe_trace(args.profile):
+        poses = pipe.dock(rec, lig)
+    os.makedirs(args.out, exist_ok=True)
+    lig_centered = lig.centered()
+    for i in range(min(len(poses), args.num_out)):
+        s = dataclasses.replace(lig_centered)
+        s.coords = poses.ligand_coords(lig_centered.coords, i).astype(
+            np.float32)
+        write_pdb(os.path.join(args.out, f"pose_{i:03d}.pdb"), s)
+    table = [dict(rank=i, score=float(poses.scores[i]),
+                  rot_idx=int(poses.rot_idx[i]),
+                  shift=[int(v) for v in poses.shifts[i]])
+             for i in range(len(poses))]
+    with open(os.path.join(args.out, "poses.json"), "w") as f:
+        json.dump(table, f, indent=2)
+    print(f"wrote {min(len(poses), args.num_out)} pose PDBs + poses.json "
+          f"to {args.out}")
+
+
+def cmd_generate_dataset(args):
+    from deeplocalproteindocking_tpu.data.benchmark import (
+        synthetic_complex)
+    from deeplocalproteindocking_tpu.structure.pdb import write_pdb
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.num_complexes):
+        c = synthetic_complex(seed=args.seed + i)
+        write_pdb(os.path.join(args.out, f"{c.name}_r_u.pdb"), c.receptor)
+        write_pdb(os.path.join(args.out, f"{c.name}_l_u.pdb"), c.ligand)
+    print(f"wrote {args.num_complexes} synthetic complexes to {args.out}")
+
+
+def _load_complexes(args):
+    from deeplocalproteindocking_tpu.data.benchmark import (
+        list_benchmark, load_complex, synthetic_complex)
+    if args.data_dir:
+        return [load_complex(args.data_dir, c)
+                for c in list_benchmark(args.data_dir)]
+    return [synthetic_complex(seed=i) for i in range(args.synthetic)]
+
+
+def cmd_evaluate(args):
+    from deeplocalproteindocking_tpu.evaluation import run_benchmark
+    from deeplocalproteindocking_tpu.utils.profiling import maybe_trace
+    cfg = _build_config(args)
+    pipe = _build_pipeline(cfg, args.checkpoint)
+    complexes = _load_complexes(args)
+    with maybe_trace(args.profile):
+        summary = run_benchmark(pipe, complexes, args.out)
+    print(json.dumps(summary, indent=2))
+
+
+def cmd_train(args):
+    from deeplocalproteindocking_tpu.train.data_gen import (
+        make_training_batch)
+    from deeplocalproteindocking_tpu.train.trainer import Trainer
+    from deeplocalproteindocking_tpu.utils.logging import MetricsLogger
+    import jax
+    cfg = _build_config(args)
+    trainer = Trainer(cfg)
+    if args.resume and os.path.isdir(args.ckpt_dir) and any(
+            d.startswith("step_") for d in os.listdir(args.ckpt_dir)):
+        state = trainer.restore(args.ckpt_dir)
+        print(f"resumed from step {int(state.step)}")
+    else:
+        state = trainer.init_state()
+    complexes = _load_complexes(args)
+    logger = MetricsLogger(os.path.join(args.ckpt_dir, "train.jsonl"))
+    key = state.key
+    for step in range(int(state.step), args.steps):
+        key, k_batch = jax.random.split(key)
+        batch = make_training_batch(k_batch, complexes, cfg)
+        state, metrics = trainer.train_step(state, batch)
+        logger.log("train_step", step=step, **metrics)
+        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
+            trainer.save(args.ckpt_dir, state)
+    print(f"trained to step {int(state.step)}; checkpoints in "
+          f"{args.ckpt_dir}")
+
+
+def cmd_info(args):
+    import jax
+    from deeplocalproteindocking_tpu.config import PRESETS
+    print("devices:", jax.devices())
+    print("presets:")
+    for name, cfg in PRESETS.items():
+        print(f"  {name}: grid={cfg.grid_size} rot={cfg.num_rotations} "
+              f"topk={cfg.top_k} mesh=({cfg.mesh_rot},{cfg.mesh_batch})")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="deeplocalproteindocking_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("dock", help="dock one receptor/ligand pair")
+    p.add_argument("--receptor", required=True)
+    p.add_argument("--ligand", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num-out", type=int, default=10)
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_dock)
+
+    p = sub.add_parser("generate-dataset",
+                       help="write synthetic benchmark complexes")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-complexes", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_generate_dataset)
+
+    p = sub.add_parser("evaluate", help="benchmark sweep + hit-rate table")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", type=int, default=4)
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", default=None)
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("train", help="train the representation model")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", type=int, default=4)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--ckpt-every", type=int, default=25)
+    p.add_argument("--resume", action="store_true")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("info", help="devices and presets")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

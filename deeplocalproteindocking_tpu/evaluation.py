@@ -1,0 +1,109 @@
+"""Benchmark evaluation: per-complex sweeps, hit-rates, resumability.
+
+Capability parity with the reference's results/eval layer
+[U: DeepLocalProteinDocking results scripts — mount empty, unverified]:
+run the full docking stack over a benchmark split, grade every pose with
+CAPRI-style metrics, and aggregate top-N hit-rate tables
+(BASELINE.json: metric "top-10 hit-rate parity").
+
+Fault tolerance (SURVEY.md §5.3): evaluation is checkpointed per
+complex — a complex either has a completed ``<name>.json`` result file
+or is recomputed, so preemption/crash recovery is idempotent resume.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from deeplocalproteindocking_tpu.data.benchmark import Complex
+from deeplocalproteindocking_tpu.pipeline import DockingPipeline, PoseSet
+from deeplocalproteindocking_tpu.utils.logging import MetricsLogger
+from deeplocalproteindocking_tpu.utils.quality import (
+    CAPRI_CLASSES, capri_class, fnat, interface_rmsd, ligand_rmsd,
+)
+
+
+def grade_poses(cplx: Complex, poses: PoseSet) -> List[Dict]:
+    """CAPRI-style quality of every pose against the native complex."""
+    rec = cplx.receptor.centered()
+    lig_native = cplx.ligand  # native pose in original frame
+    rec_center = cplx.receptor.center
+    lig_centered = cplx.ligand.centered()
+    # Native ligand coords in the centered-receptor frame:
+    native = jnp.asarray(lig_native.coords - rec_center)
+    rec_j = jnp.asarray(rec.coords)
+    rec_res = jnp.asarray(_dense_res_ids(cplx.receptor))
+    lig_res = jnp.asarray(_dense_res_ids(cplx.ligand))
+
+    out = []
+    for i in range(len(poses)):
+        posed = jnp.asarray(poses.ligand_coords(lig_centered.coords, i))
+        l = float(ligand_rmsd(posed, native))
+        ir = float(interface_rmsd(rec_j, native, posed))
+        fn = float(fnat(rec_j, native, posed, rec_res, lig_res))
+        cls = capri_class(fn, l, ir)
+        out.append(dict(rank=i, score=float(poses.scores[i]), lrmsd=l,
+                        irmsd=ir, fnat=fn, capri=CAPRI_CLASSES[cls]))
+    return out
+
+
+def _dense_res_ids(s) -> np.ndarray:
+    """Per-atom residue ids compressed to dense [0, n_res)."""
+    _, dense = np.unique(
+        np.stack([s.chain_ids, s.res_ids.astype(str)], axis=1),
+        axis=0, return_inverse=True)
+    return dense.astype(np.int32)
+
+
+def evaluate_complex(pipeline: DockingPipeline, cplx: Complex) -> Dict:
+    poses = pipeline.dock_complex(cplx)
+    graded = grade_poses(cplx, poses)
+    hits10 = [g for g in graded[:10] if g["capri"] != "incorrect"]
+    return {
+        "name": cplx.name,
+        "num_poses": len(graded),
+        "poses": graded,
+        "hit_top1": bool(graded and graded[0]["capri"] != "incorrect"),
+        "hit_top10": bool(hits10),
+        "best_lrmsd": min((g["lrmsd"] for g in graded), default=None),
+    }
+
+
+def run_benchmark(pipeline: DockingPipeline,
+                  complexes: Sequence[Complex],
+                  out_dir: str,
+                  logger: Optional[MetricsLogger] = None) -> Dict:
+    """Evaluate many complexes with per-complex resume; aggregate hits."""
+    os.makedirs(out_dir, exist_ok=True)
+    logger = logger or MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+    results = []
+    for cplx in complexes:
+        path = os.path.join(out_dir, f"{cplx.name}.json")
+        if os.path.exists(path):           # idempotent resume
+            with open(path) as f:
+                res = json.load(f)
+            logger.log("complex_cached", name=cplx.name)
+        else:
+            res = evaluate_complex(pipeline, cplx)
+            with open(path + ".tmp", "w") as f:
+                json.dump(res, f)
+            os.replace(path + ".tmp", path)  # atomic completion marker
+            logger.log("complex_done", name=cplx.name,
+                       hit_top10=res["hit_top10"],
+                       best_lrmsd=res["best_lrmsd"])
+        results.append(res)
+
+    n = max(len(results), 1)
+    summary = {
+        "num_complexes": len(results),
+        "top1_hit_rate": sum(r["hit_top1"] for r in results) / n,
+        "top10_hit_rate": sum(r["hit_top10"] for r in results) / n,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    logger.log("benchmark_summary", **summary)
+    return summary

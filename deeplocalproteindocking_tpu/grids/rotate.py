@@ -33,7 +33,7 @@ def _source_lattice(R: jax.Array, L: int) -> jax.Array:
     ax = jnp.arange(L, dtype=jnp.float32) - c
     gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
     pts = jnp.stack([gx, gy, gz])                     # [3, L, L, L]
-    src = jnp.einsum("ji,i...->j...", R, pts) + c     # R^T (x - c) + c
+    src = jnp.einsum("ij,i...->j...", R, pts) + c     # R^T (x - c) + c
     return src
 
 

@@ -1,0 +1,166 @@
+"""End-to-end docking pipeline: structures in, ranked poses out.
+
+This is the call stack of SURVEY.md §3.1 as one object:
+
+    parse/type (structure/) -> splat (grids/) -> represent (models/)
+    -> sweep (sweep/ or parallel/) -> cluster (sweep/cluster)
+    -> quality (utils/quality)
+
+Two scoring modes:
+
+* **learned** — the 3D-CNN representation + learned channel coupling
+  (reference EQScoringModel path);
+* **shape** — no CNN: two analytic channels (surface shell, core) with a
+  fixed attract/repulse coupling, the classic FFT-docking shape
+  complementarity (BASELINE.json configs[0] "shape-complementarity
+  channels only").
+
+Geometry: receptor centered at origin; ligand centered at its own
+center; a pose is ``x -> R x + shift * resolution`` (see train/decoys.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.data.benchmark import (
+    Complex, structure_to_device,
+)
+from deeplocalproteindocking_tpu.grids.voxelize import splat
+from deeplocalproteindocking_tpu.models.scoring import ScoringModel
+from deeplocalproteindocking_tpu.parallel.sharded_sweep import (
+    sharded_dock_sweep,
+)
+from deeplocalproteindocking_tpu.structure.pdb import Structure
+from deeplocalproteindocking_tpu.structure.so3 import (
+    local_rotations, super_fibonacci_rotations,
+)
+from deeplocalproteindocking_tpu.structure.transforms import apply_pose
+from deeplocalproteindocking_tpu.sweep.cluster import (
+    nms_cluster, pose_pairwise_rmsd,
+)
+from deeplocalproteindocking_tpu.sweep.docker import dock_sweep
+
+
+class PoseSet(NamedTuple):
+    """Ranked rigid-body poses of the (centered) ligand."""
+    scores: np.ndarray        # [K]
+    rotations: np.ndarray     # [K, 3, 3]
+    translations: np.ndarray  # [K, 3] Angstrom
+    rot_idx: np.ndarray       # [K] into the rotation set
+    shifts: np.ndarray        # [K, 3] voxel shifts
+
+    def __len__(self):
+        return len(self.scores)
+
+    def ligand_coords(self, lig_coords: np.ndarray, i: int) -> np.ndarray:
+        """Posed ligand coordinates (receptor frame) for pose ``i``."""
+        return np.asarray(apply_pose(jnp.asarray(lig_coords),
+                                     jnp.asarray(self.rotations[i]),
+                                     jnp.asarray(self.translations[i])))
+
+
+def shape_complementarity_reps(vol: jax.Array, *, core_weight: float = 8.0,
+                               threshold: float = 0.5):
+    """Analytic (surface, core) representation from a density volume.
+
+    ``vol [L, L, L, T]`` -> rep ``[L, L, L, 2]`` and the fixed coupling
+    ``[[1, 0], [0, -core_weight]]``: surface-surface contact attracts,
+    core-core overlap repels — ZDOCK-style shape complementarity without
+    a learned model.
+    """
+    occ = vol.sum(-1)
+    core = (occ > threshold).astype(jnp.float32)
+    # One-voxel dilation via 3x3x3 max pooling.
+    dil = jax.lax.reduce_window(core, -jnp.inf, jax.lax.max,
+                                (3, 3, 3), (1, 1, 1), "SAME")
+    surface = dil - core
+    rep = jnp.stack([surface, core], axis=-1)
+    coupling = jnp.array([[1.0, 0.0], [0.0, -core_weight]], jnp.float32)
+    return rep, coupling
+
+
+@dataclasses.dataclass
+class DockingPipeline:
+    config: DockConfig
+    params: Optional[dict] = None      # None => shape-complementarity mode
+    mesh: Optional[object] = None      # jax Mesh => rotation-sharded sweep
+
+    def __post_init__(self):
+        self.model = ScoringModel(features=self.config.rep_features,
+                                  kernel=self.config.rep_kernel)
+
+    # ---- building blocks ----
+    def init_params(self, seed: int = 0) -> dict:
+        cfg = self.config
+        dummy = jnp.zeros((cfg.grid_size,) * 3 + (cfg.num_atom_types,))
+        self.params = self.model.init(jax.random.key(seed), dummy,
+                                      dummy)["params"]
+        return self.params
+
+    def voxelize(self, s: Structure, max_atoms: Optional[int] = None):
+        cfg = self.config
+        coords, types, mask = structure_to_device(s, max_atoms)
+        return splat(coords, types, mask, grid_size=cfg.grid_size,
+                     resolution=cfg.resolution, sigma=cfg.sigma,
+                     window=cfg.splat_window,
+                     num_types=cfg.num_atom_types)
+
+    def representations(self, rec_vol: jax.Array, lig_vol: jax.Array):
+        if self.params is None:
+            rep_rec, coupling = shape_complementarity_reps(rec_vol)
+            rep_lig, _ = shape_complementarity_reps(lig_vol)
+            return rep_rec, rep_lig, coupling
+        return self.model.apply({"params": self.params}, rec_vol, lig_vol)
+
+    def rotation_set(self, native_rotation: Optional[jax.Array] = None):
+        cfg = self.config
+        if cfg.local_cone_deg is not None:
+            base = (jnp.eye(3) if native_rotation is None
+                    else native_rotation)
+            return local_rotations(base, np.deg2rad(cfg.local_cone_deg),
+                                   cfg.num_rotations)
+        return super_fibonacci_rotations(cfg.num_rotations)
+
+    # ---- the full stack (SURVEY.md §3.1) ----
+    def dock(self, rec: Structure, lig: Structure,
+             rotations: Optional[jax.Array] = None,
+             cluster: bool = True) -> PoseSet:
+        """Dock centered structures; returns ranked (clustered) poses."""
+        cfg = self.config
+        rec_c = rec.centered()
+        lig_c = lig.centered()
+        rec_vol = self.voxelize(rec_c)
+        lig_vol = self.voxelize(lig_c)
+        rep_rec, rep_lig, coupling = self.representations(rec_vol, lig_vol)
+        if rotations is None:
+            rotations = self.rotation_set()
+        if self.mesh is not None:
+            res = sharded_dock_sweep(
+                self.mesh, rep_rec, rep_lig, rotations, coupling,
+                top_k=cfg.top_k, chunk=cfg.rotation_chunk)
+        else:
+            res = dock_sweep(rep_rec, rep_lig, rotations, coupling,
+                             top_k=cfg.top_k, chunk=cfg.rotation_chunk)
+        scores = np.asarray(res.scores)
+        rot_idx = np.asarray(res.rot_idx)
+        shifts = np.asarray(res.shifts)
+        Rs = np.asarray(rotations)[rot_idx]
+        ts = shifts.astype(np.float32) * cfg.resolution
+
+        if cluster and len(scores) > 1:
+            lig_j = jnp.asarray(lig_c.coords)
+            D = pose_pairwise_rmsd(lig_j, jnp.asarray(Rs), jnp.asarray(ts))
+            keep = nms_cluster(scores, D, cfg.nms_rmsd)
+            scores, rot_idx = scores[keep], rot_idx[keep]
+            shifts, Rs, ts = shifts[keep], Rs[keep], ts[keep]
+        return PoseSet(scores=scores, rotations=Rs, translations=ts,
+                       rot_idx=rot_idx, shifts=shifts)
+
+    def dock_complex(self, cplx: Complex, **kw) -> PoseSet:
+        return self.dock(cplx.receptor, cplx.ligand, **kw)

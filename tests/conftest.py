@@ -8,7 +8,8 @@ Must run before the first ``import jax`` anywhere in the test session.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: the JAX_PLATFORMS env var is ignored once the axon TPU PJRT
+# plugin registers itself; the config API below is authoritative.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,5 +17,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
