@@ -93,14 +93,21 @@ def shift_to_flat_index(shift: jax.Array, L: int) -> jax.Array:
     return (idx[..., 0] * L + idx[..., 1]) * L + idx[..., 2]
 
 
-def translation_mask(L: int, max_shift: int) -> jax.Array:
-    """``[L, L, L]`` bool mask of shifts with ``|t_i| <= max_shift``.
+def translation_mask(L: int, max_shift: int,
+                     center: jax.Array | None = None) -> jax.Array:
+    """``[L, L, L]`` bool mask of shifts with ``|t_i - c_i| <= max_shift``.
 
-    Local docking restricts translations near the native pose, and the
-    mask also guards the circular-wraparound ambiguity when structures
-    are large relative to the box.
+    Local docking restricts translations near a center (e.g. the native
+    shift), and the mask also guards the circular-wraparound ambiguity
+    when structures are large relative to the box.  ``center`` is a
+    signed voxel shift ``[3]`` (default 0).
     """
     i = jnp.arange(L)
     signed = jnp.where(i <= L // 2, i, i - L)
-    ok = jnp.abs(signed) <= max_shift
-    return ok[:, None, None] & ok[None, :, None] & ok[None, None, :]
+    if center is None:
+        center = jnp.zeros(3, dtype=signed.dtype)
+    # Circular distance along each axis.
+    d = jnp.abs(signed[None, :] - center[:, None])
+    d = jnp.minimum(d, L - d)
+    ok = d <= max_shift
+    return ok[0][:, None, None] & ok[1][None, :, None] & ok[2][None, None, :]

@@ -51,16 +51,28 @@ class Complex:
 
 def _random_chain(rng: np.random.Generator, n_res: int,
                   chain: str) -> Structure:
-    """Compact random mini-protein with valid PDB atom/residue names."""
+    """Compact globular mini-protein with valid PDB atom/residue names.
+
+    Residue centers are packed into a ball by min-distance rejection
+    sampling (protein-like density ~one residue per (5 A)^3), so the
+    voxelized structure has a solid core — required for shape
+    complementarity to behave like it does on real proteins.
+    """
     res_pool = list(_RES_ATOMS)
+    # Ball radius for protein-like packing density.
+    radius = 3.2 * n_res ** (1.0 / 3.0)
+    centers = []
+    while len(centers) < n_res:
+        p = rng.uniform(-radius, radius, 3)
+        if np.linalg.norm(p) > radius:
+            continue
+        if centers and np.linalg.norm(
+                np.asarray(centers) - p, axis=1).min() < 4.6:
+            continue
+        centers.append(p)
     names, ress, rids, xyz = [], [], [], []
-    # Self-avoiding-ish CA walk: 3.8 A steps biased back toward origin.
-    ca = np.zeros(3)
-    for ri in range(n_res):
+    for ri, ca in enumerate(centers):
         res = res_pool[rng.integers(len(res_pool))]
-        step = rng.normal(size=3)
-        step = step / np.linalg.norm(step) * 3.8
-        ca = (ca + step) * 0.92          # pull toward origin -> compact
         frame = rng.normal(size=(3, 3))
         q, _ = np.linalg.qr(frame)
         local = {
@@ -89,31 +101,37 @@ def _random_chain(rng: np.random.Generator, n_res: int,
 
 
 def synthetic_complex(seed: int = 0, n_res_rec: int = 30,
-                      n_res_lig: int = 15, gap: float = 1.5) -> Complex:
+                      n_res_lig: int = 15) -> Complex:
     """Deterministic synthetic docked complex (tests / benchmarks).
 
-    The ligand is translated along +x until the minimum inter-atom
-    distance equals ``gap`` + contact radius, giving a touching "native"
-    interface.  Receptor is centered at the origin.
+    One compact globular blob of ``n_res_rec + n_res_lig`` residues is
+    generated and *carved* in two: the ligand is the surface chunk of
+    ``n_res_lig`` residues nearest a surface seed residue, the receptor
+    is the rest.  Their native relative placement reassembles the blob,
+    so the native pose is geometrically complementary by construction —
+    maximal buried surface with zero core clash — exactly the property
+    shape-based docking scores reward on real proteins.  Receptor is
+    centered at the origin on return; the ligand keeps its native
+    placement relative to it.
     """
     rng = np.random.default_rng(seed)
-    rec = _random_chain(rng, n_res_rec, "A")
-    lig = _random_chain(rng, n_res_lig, "B")
-    rec.coords -= rec.coords.mean(0)
-    lig.coords -= lig.coords.mean(0)
-    # Push ligand out along +x to a touching distance.
-    direction = np.array([1.0, 0.0, 0.0], dtype=np.float32)
-    lo, hi = 0.0, 200.0
-    for _ in range(40):                   # bisection on min-distance
-        mid = 0.5 * (lo + hi)
-        d = np.linalg.norm(
-            rec.coords[:, None] - (lig.coords + mid * direction)[None],
-            axis=-1).min()
-        if d < 3.5 + gap:
-            lo = mid
-        else:
-            hi = mid
-    lig.coords = lig.coords + hi * direction
+    whole = _random_chain(rng, n_res_rec + n_res_lig, "A")
+    # Residue centers = mean of each residue's atoms.
+    n_res = n_res_rec + n_res_lig
+    res_centers = np.stack([
+        whole.coords[whole.res_ids == i + 1].mean(0) for i in range(n_res)])
+    blob_center = whole.coords.mean(0)
+    seed_res = int(np.argmax(
+        np.linalg.norm(res_centers - blob_center, axis=1)))
+    d_to_seed = np.linalg.norm(res_centers - res_centers[seed_res], axis=1)
+    lig_res = set((np.argsort(d_to_seed)[:n_res_lig] + 1).tolist())
+    lig_mask = np.isin(whole.res_ids, list(lig_res))
+    rec = whole.select(~lig_mask)
+    lig = whole.select(lig_mask)
+    lig.chain_ids = np.full(len(lig), "B", dtype="<U1")
+    shift = rec.coords.mean(0)
+    rec.coords = rec.coords - shift
+    lig.coords = lig.coords - shift
     return Complex(name=f"synth{seed}", receptor=rec, ligand=lig)
 
 

@@ -1,0 +1,79 @@
+"""ctypes binding to the C++ PDB parser (native/pdb_parser.cpp).
+
+Loaded lazily by structure/pdb.py; when the shared library is absent an
+import error propagates and the pure-Python parser takes over (identical
+parsing rules — parity is asserted in tests/test_native.py).  The
+library is built on demand with ``make -C native`` the first time.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpdbparse.so")
+
+
+def _load():
+    if not os.path.exists(_LIB_PATH):
+        # Best-effort on-demand build; quiet failure -> ImportError below.
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+    lib = ctypes.CDLL(_LIB_PATH)   # raises OSError if still missing
+    lib.pdb_count_atoms.restype = ctypes.c_int
+    lib.pdb_count_atoms.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.pdb_parse.restype = ctypes.c_int
+    lib.pdb_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    return lib
+
+
+_lib = _load()
+
+
+def parse_pdb(path: str, include_hetatm: bool = False):
+    """Parse with the C++ fast path -> Structure (or None on failure)."""
+    from deeplocalproteindocking_tpu.structure.atom_types import (
+        assign_atom_types)
+    from deeplocalproteindocking_tpu.structure.pdb import Structure
+
+    het = 1 if include_hetatm else 0
+    n = _lib.pdb_count_atoms(path.encode(), het)
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    coords = np.zeros((n, 3), dtype=np.float32)
+    atom_raw = ctypes.create_string_buffer(max(4 * n, 4))
+    res_raw = ctypes.create_string_buffer(max(3 * n, 3))
+    chain_raw = ctypes.create_string_buffer(max(n, 1))
+    res_ids = np.zeros(n, dtype=np.int32)
+    got = _lib.pdb_parse(
+        path.encode(), het, n,
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        atom_raw, res_raw, chain_raw,
+        res_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if got != n:
+        raise IOError(f"parse mismatch in {path}: {got} != {n}")
+    atom_names = np.char.strip(
+        np.frombuffer(atom_raw.raw[:4 * n], dtype="S4").astype("<U4"))
+    res_names = np.char.strip(
+        np.frombuffer(res_raw.raw[:3 * n], dtype="S3").astype("<U3"))
+    chain_ids = np.frombuffer(
+        chain_raw.raw[:n], dtype="S1").astype("<U1")
+    return Structure(
+        coords=coords,
+        atom_names=atom_names,
+        res_names=res_names,
+        res_ids=res_ids,
+        chain_ids=chain_ids,
+        types=assign_atom_types(res_names, atom_names),
+    )

@@ -53,8 +53,13 @@ def sharded_dock_sweep(mesh: Mesh,
     def shard_fn(rec, lig, rots, n_valid):
         shard = jax.lax.axis_index("rot")
         base = (shard * per_shard).astype(jnp.int32)
+        # Rotations at global index >= n_valid are padding: mask them
+        # inside the scan so they can't crowd real candidates out of
+        # this shard's local top-K.
+        local_valid = jnp.clip(n_valid - base, 0, per_shard)
         res = dock_sweep(rec, lig, rots, coupling, top_k=top_k,
-                         chunk=chunk, score_mask=score_mask)
+                         chunk=chunk, score_mask=score_mask,
+                         num_valid=local_valid)
         # Re-index into the global rotation set; kill padded entries.
         rot_idx = res.rot_idx + base
         valid = rot_idx < n_valid

@@ -65,8 +65,8 @@ class PoseSet(NamedTuple):
                                      jnp.asarray(self.translations[i])))
 
 
-def shape_complementarity_reps(vol: jax.Array, *, core_weight: float = 8.0,
-                               threshold: float = 0.5):
+def shape_complementarity_reps(vol: jax.Array, *, core_weight: float = 12.0,
+                               threshold: float = 0.35, shell: int = 2):
     """Analytic (surface, core) representation from a density volume.
 
     ``vol [L, L, L, T]`` -> rep ``[L, L, L, 2]`` and the fixed coupling
@@ -76,9 +76,10 @@ def shape_complementarity_reps(vol: jax.Array, *, core_weight: float = 8.0,
     """
     occ = vol.sum(-1)
     core = (occ > threshold).astype(jnp.float32)
-    # One-voxel dilation via 3x3x3 max pooling.
+    # ``shell``-voxel dilation via max pooling -> surface layer.
+    w = 2 * shell + 1
     dil = jax.lax.reduce_window(core, -jnp.inf, jax.lax.max,
-                                (3, 3, 3), (1, 1, 1), "SAME")
+                                (w, w, w), (1, 1, 1), "SAME")
     surface = dil - core
     rep = jnp.stack([surface, core], axis=-1)
     coupling = jnp.array([[1.0, 0.0], [0.0, -core_weight]], jnp.float32)
@@ -130,8 +131,16 @@ class DockingPipeline:
     # ---- the full stack (SURVEY.md §3.1) ----
     def dock(self, rec: Structure, lig: Structure,
              rotations: Optional[jax.Array] = None,
-             cluster: bool = True) -> PoseSet:
-        """Dock centered structures; returns ranked (clustered) poses."""
+             cluster: bool = True,
+             translation_center: Optional[np.ndarray] = None,
+             max_shift: Optional[float] = None) -> PoseSet:
+        """Dock centered structures; returns ranked (clustered) poses.
+
+        Local docking (the reference's headline mode): pass a rotation
+        set from ``rotation_set(native_R)`` plus ``translation_center``
+        (signed voxel shift of the native pose) and ``max_shift``
+        (Angstrom) to restrict the translational search around it.
+        """
         cfg = self.config
         rec_c = rec.centered()
         lig_c = lig.centered()
@@ -140,13 +149,24 @@ class DockingPipeline:
         rep_rec, rep_lig, coupling = self.representations(rec_vol, lig_vol)
         if rotations is None:
             rotations = self.rotation_set()
+        score_mask = None
+        if max_shift is not None:
+            from deeplocalproteindocking_tpu.correlate.fft import (
+                translation_mask)
+            center = (None if translation_center is None
+                      else jnp.asarray(translation_center, jnp.int32))
+            score_mask = translation_mask(
+                cfg.grid_size, int(round(max_shift / cfg.resolution)),
+                center)
         if self.mesh is not None:
             res = sharded_dock_sweep(
                 self.mesh, rep_rec, rep_lig, rotations, coupling,
-                top_k=cfg.top_k, chunk=cfg.rotation_chunk)
+                top_k=cfg.top_k, chunk=cfg.rotation_chunk,
+                score_mask=score_mask)
         else:
             res = dock_sweep(rep_rec, rep_lig, rotations, coupling,
-                             top_k=cfg.top_k, chunk=cfg.rotation_chunk)
+                             top_k=cfg.top_k, chunk=cfg.rotation_chunk,
+                             score_mask=score_mask)
         scores = np.asarray(res.scores)
         rot_idx = np.asarray(res.rot_idx)
         shifts = np.asarray(res.shifts)

@@ -57,17 +57,23 @@ def dock_sweep(rec_rep: jax.Array,
                *,
                top_k: int = 32,
                chunk: int = 8,
-               score_mask: Optional[jax.Array] = None) -> DockResult:
+               score_mask: Optional[jax.Array] = None,
+               num_valid: Optional[jax.Array] = None) -> DockResult:
     """Sweep ``rotations [R, 3, 3]`` over all translations.
 
     ``rec_rep``/``lig_rep`` are ``[L, L, L, C]`` representation volumes.
     ``score_mask`` (optional ``[L, L, L]`` bool) restricts valid
     translations (local docking / wraparound guard).
     Rotations are padded to a multiple of ``chunk``; padded entries are
-    masked to -inf.
+    masked to -inf.  ``num_valid`` (optional dynamic scalar) marks
+    rotations at index >= num_valid as padding too — used by the sharded
+    sweep so externally-padded rotation slices can never crowd real
+    candidates out of the local top-K.
     """
     L = rec_rep.shape[0]
     n_rot = rotations.shape[0]
+    if num_valid is None:
+        num_valid = jnp.asarray(n_rot, dtype=jnp.int32)
     H = receptor_transform(rec_rep, coupling)
 
     pad = (-n_rot) % chunk
@@ -91,7 +97,7 @@ def dock_sweep(rec_rep: jax.Array,
         Sf = S.reshape(chunk, L * L * L)
         vals, flat = jax.lax.top_k(Sf, top_k)               # [chunk, K]
         rot_ids = base + jnp.arange(chunk, dtype=jnp.int32)
-        valid = rot_ids < n_rot                             # mask padding
+        valid = rot_ids < num_valid                         # mask padding
         vals = jnp.where(valid[:, None], vals, neg_inf)
         rot_ids = jnp.broadcast_to(rot_ids[:, None], vals.shape)
 

@@ -1,0 +1,106 @@
+"""End-to-end slice (BASELINE.json configs[0]): one synthetic complex,
+shape-complementarity channels, coarse rotations, CPU backend — the
+minimum full-stack docking path, brute-force-checkable."""
+import numpy as np
+import jax.numpy as jnp
+
+from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.data import synthetic_complex
+from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+from deeplocalproteindocking_tpu.structure.so3 import local_rotations
+from deeplocalproteindocking_tpu.utils.quality import ligand_rmsd
+
+
+def small_config(**kw):
+    base = dict(grid_size=48, resolution=1.25, num_rotations=24,
+                rotation_chunk=8, top_k=16, nms_rmsd=3.0,
+                rep_features=(8, 8))
+    base.update(kw)
+    return DockConfig(**base)
+
+
+class TestEndToEnd:
+    def test_shape_mode_refinds_native_locally(self):
+        # Local docking around the native orientation on a carved
+        # complex (native = reassembly, complementary by construction):
+        # a near-native pose must rank at the top.
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            native_voxel_shift)
+        cplx = synthetic_complex(seed=0, n_res_rec=14, n_res_lig=7)
+        cfg = small_config()
+        pipe = DockingPipeline(config=cfg)
+        rots = local_rotations(jnp.eye(3), np.deg2rad(20.0), 16)
+        nat = native_voxel_shift(cplx, cfg.resolution)
+        poses = pipe.dock_complex(cplx, rotations=rots, cluster=False,
+                                  translation_center=nat, max_shift=6.0)
+
+        assert len(poses) == cfg.top_k
+        assert np.all(np.diff(poses.scores) <= 1e-5)  # ranked desc
+        lig_centered = cplx.ligand.centered()
+        native = jnp.asarray(cplx.ligand.coords -
+                             cplx.receptor.coords.mean(0))
+        top1_lrmsd = float(ligand_rmsd(
+            jnp.asarray(poses.ligand_coords(lig_centered.coords, 0)),
+            native))
+        assert top1_lrmsd < 2.0, top1_lrmsd
+
+    def test_shape_mode_global_search_finds_native(self):
+        # No restriction at all: exhaustive rotation x translation scan
+        # must still surface a near-native pose in the top-K.
+        cplx = synthetic_complex(seed=0, n_res_rec=14, n_res_lig=7)
+        cfg = small_config()
+        pipe = DockingPipeline(config=cfg)
+        rots = local_rotations(jnp.eye(3), np.deg2rad(20.0), 16)
+        poses = pipe.dock_complex(cplx, rotations=rots, cluster=False)
+        lig_centered = cplx.ligand.centered()
+        native = jnp.asarray(cplx.ligand.coords -
+                             cplx.receptor.coords.mean(0))
+        best = min(
+            float(ligand_rmsd(
+                jnp.asarray(poses.ligand_coords(lig_centered.coords, i)),
+                native))
+            for i in range(len(poses)))
+        assert best < 3.0, best
+
+    def test_learned_mode_runs_and_ranks(self):
+        cplx = synthetic_complex(seed=1, n_res_rec=10, n_res_lig=5)
+        cfg = small_config(grid_size=32, num_rotations=8, top_k=8)
+        pipe = DockingPipeline(config=cfg)
+        pipe.init_params(seed=0)
+        poses = pipe.dock_complex(cplx, cluster=True)
+        assert 1 <= len(poses) <= 8
+        assert np.isfinite(poses.scores).all()
+
+    def test_clustering_reduces_redundancy(self):
+        cplx = synthetic_complex(seed=2, n_res_rec=10, n_res_lig=5)
+        cfg = small_config(grid_size=32, num_rotations=8, top_k=16)
+        pipe = DockingPipeline(config=cfg)
+        raw = pipe.dock_complex(cplx, cluster=False)
+        clustered = pipe.dock_complex(cplx, cluster=True)
+        assert len(clustered) <= len(raw)
+
+    def test_evaluation_and_resume(self, tmp_path):
+        from deeplocalproteindocking_tpu.evaluation import run_benchmark
+        cfg = small_config(grid_size=32, num_rotations=8, top_k=8)
+        pipe = DockingPipeline(config=cfg)
+        cplxs = [synthetic_complex(seed=s, n_res_rec=8, n_res_lig=4)
+                 for s in (3, 4)]
+        out = tmp_path / "bench"
+        s1 = run_benchmark(pipe, cplxs, str(out))
+        assert s1["num_complexes"] == 2
+        assert (out / f"{cplxs[0].name}.json").exists()
+        # Second run resumes from the per-complex files (idempotent).
+        s2 = run_benchmark(pipe, cplxs, str(out))
+        assert s2 == s1
+
+    def test_xplor_export(self, tmp_path):
+        from deeplocalproteindocking_tpu.grids import write_xplor
+        cplx = synthetic_complex(seed=5, n_res_rec=6, n_res_lig=3)
+        cfg = small_config(grid_size=32)
+        pipe = DockingPipeline(config=cfg)
+        vol = pipe.voxelize(cplx.receptor.centered())
+        path = tmp_path / "rec.xplor"
+        write_xplor(str(path), np.asarray(vol.sum(-1)),
+                    resolution=cfg.resolution)
+        text = path.read_text()
+        assert "ZYX" in text and "-9999" in text

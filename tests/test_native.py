@@ -1,0 +1,57 @@
+"""C++ parser parity with the pure-Python parser."""
+import numpy as np
+import pytest
+
+from deeplocalproteindocking_tpu.data import synthetic_complex
+from deeplocalproteindocking_tpu.structure.pdb import (
+    parse_pdb_text, write_pdb,
+)
+
+pdb_native = pytest.importorskip(
+    "deeplocalproteindocking_tpu.native.pdb_native")
+
+
+HETATM_SNIPPET = """\
+ATOM      1  N   MET A   1      27.340  24.430   2.614  1.00  0.00
+ATOM      2  CA BMET A   1      26.266  25.413   2.842  1.00  0.00
+HETATM    3  O   HOH A 100      10.000  10.000  10.000  1.00  0.00
+ENDMDL
+ATOM      4  CB  MET A   1      25.112  24.880   3.649  1.00  0.00
+"""
+
+
+class TestNativeParser:
+    def test_parity_on_synthetic(self, tmp_path):
+        c = synthetic_complex(seed=0, n_res_rec=10, n_res_lig=5)
+        p = tmp_path / "rec.pdb"
+        write_pdb(p, c.receptor)
+        fast = pdb_native.parse_pdb(str(p))
+        with open(p) as f:
+            slow = parse_pdb_text(f.read())
+        np.testing.assert_array_equal(fast.coords, slow.coords)
+        assert list(fast.atom_names) == list(slow.atom_names)
+        assert list(fast.res_names) == list(slow.res_names)
+        assert list(fast.res_ids) == list(slow.res_ids)
+        assert list(fast.chain_ids) == list(slow.chain_ids)
+        assert list(fast.types) == list(slow.types)
+
+    def test_altloc_endmdl_hetatm_rules(self, tmp_path):
+        p = tmp_path / "t.pdb"
+        p.write_text(HETATM_SNIPPET)
+        fast = pdb_native.parse_pdb(str(p))
+        slow = parse_pdb_text(HETATM_SNIPPET)
+        # altloc B skipped, HETATM skipped, ENDMDL stops: 1 atom.
+        assert len(fast) == len(slow) == 1
+        fast_h = pdb_native.parse_pdb(str(p), include_hetatm=True)
+        slow_h = parse_pdb_text(HETATM_SNIPPET, include_hetatm=True)
+        assert len(fast_h) == len(slow_h) == 2
+
+    def test_dispatch_from_parse_pdb(self, tmp_path):
+        # structure.pdb.parse_pdb should route through the native lib
+        # when available and produce identical results either way.
+        from deeplocalproteindocking_tpu.structure.pdb import parse_pdb
+        c = synthetic_complex(seed=1, n_res_rec=6, n_res_lig=3)
+        p = tmp_path / "x.pdb"
+        write_pdb(p, c.ligand)
+        s = parse_pdb(p)
+        assert len(s) == len(c.ligand)

@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.data import synthetic_complex
+from deeplocalproteindocking_tpu.train import (
+    Trainer, generate_decoys, ranking_hinge_loss,
+)
+from deeplocalproteindocking_tpu.train.data_gen import (
+    make_training_batch, native_voxel_shift,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(grid_size=24, resolution=1.5, rep_features=(6, 4),
+                num_decoys=6, batch_complexes=2, num_rotations=4,
+                decoy_max_shift=4.0, decoy_max_angle_deg=40.0)
+    base.update(kw)
+    return DockConfig(**base)
+
+
+class TestDecoys:
+    def test_native_included_and_labels(self):
+        lig = jnp.asarray(
+            np.random.default_rng(0).normal(size=(8, 3)).astype(np.float32))
+        lig = lig - lig.mean(0)
+        mask = jnp.ones(8)
+        nat = jnp.array([2, -1, 0], dtype=jnp.int32)
+        d = generate_decoys(jax.random.key(0), lig, mask, nat, n=10,
+                            resolution=1.5, max_angle=0.5, max_shift=5.0)
+        assert d.rotations.shape == (10, 3, 3)
+        assert float(d.lrmsd[0]) < 1e-4       # decoy 0 = native
+        np.testing.assert_array_equal(np.asarray(d.shifts[0]), [2, -1, 0])
+        assert float(d.lrmsd[1:].min()) >= 0.0
+        assert np.isfinite(np.asarray(d.lrmsd)).all()
+
+    def test_lrmsd_label_matches_direct(self):
+        lig = jnp.asarray(
+            np.random.default_rng(1).normal(size=(6, 3)).astype(np.float32))
+        lig = lig - lig.mean(0)
+        nat = jnp.array([0, 0, 0], dtype=jnp.int32)
+        d = generate_decoys(jax.random.key(1), lig, jnp.ones(6), nat, n=4,
+                            resolution=1.0, max_angle=0.8, max_shift=3.0)
+        from deeplocalproteindocking_tpu.structure.transforms import apply_pose
+        from deeplocalproteindocking_tpu.utils.rmsd import rmsd
+        i = 2
+        posed = apply_pose(lig, d.rotations[i],
+                           d.shifts[i].astype(jnp.float32))
+        want = float(rmsd(posed, lig))
+        np.testing.assert_allclose(float(d.lrmsd[i]), want, rtol=1e-4)
+
+
+class TestLoss:
+    def test_perfect_ranking_zero_loss(self):
+        scores = jnp.array([10.0, 1.0, 0.0])
+        lrmsd = jnp.array([1.0, 20.0, 30.0])
+        loss = ranking_hinge_loss(scores, lrmsd, near_native_rmsd=5.0,
+                                  margin=1.0)
+        assert float(loss) == 0.0
+
+    def test_inverted_ranking_positive_loss(self):
+        scores = jnp.array([0.0, 10.0])
+        lrmsd = jnp.array([1.0, 20.0])
+        loss = ranking_hinge_loss(scores, lrmsd)
+        assert float(loss) == 11.0  # margin 1 - (0 - 10)
+
+    def test_no_positives_gives_zero(self):
+        loss = ranking_hinge_loss(jnp.array([1.0, 2.0]),
+                                  jnp.array([20.0, 30.0]))
+        assert float(loss) == 0.0
+
+
+class TestTrainer:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        cplxs = [synthetic_complex(seed=s, n_res_rec=6, n_res_lig=3)
+                 for s in range(3)]
+        batch = make_training_batch(jax.random.key(0), cplxs, cfg)
+        return cfg, trainer, state, batch
+
+    def test_batch_shapes(self, setup):
+        cfg, _, _, batch = setup
+        B, D = cfg.batch_complexes, cfg.num_decoys
+        assert batch.decoy_rot.shape == (B, D, 3, 3)
+        assert batch.decoy_shift.shape == (B, D, 3)
+        assert batch.rec_coords.shape[0] == B
+
+    def test_train_step_reduces_loss(self, setup):
+        cfg, trainer, state, batch = setup
+        losses = []
+        for _ in range(8):
+            state, m = trainer.train_step(state, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]  # same batch -> must overfit
+
+    def test_grads_nonzero_through_stack(self, setup):
+        cfg, trainer, state, batch = setup
+        grads = jax.grad(lambda p: trainer.loss_fn(p, batch)[0])(
+            state.params)
+        norms = jax.tree.map(lambda g: float(jnp.abs(g).max()), grads)
+        flat = jax.tree.leaves(norms)
+        assert any(v > 0 for v in flat), norms
+
+    def test_checkpoint_roundtrip(self, setup, tmp_path):
+        cfg, trainer, state, batch = setup
+        state2, _ = trainer.train_step(state, batch)
+        trainer.save(str(tmp_path), state2)
+        restored = trainer.restore(str(tmp_path))
+        assert int(restored.step) == int(state2.step)
+        a = jax.tree.leaves(state2.params)
+        b = jax.tree.leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_native_voxel_shift(self):
+        c = synthetic_complex(seed=0, n_res_rec=6, n_res_lig=3)
+        s = native_voxel_shift(c, 1.5)
+        want = np.round((c.ligand.center - c.receptor.center) / 1.5)
+        np.testing.assert_array_equal(s, want.astype(np.int32))
