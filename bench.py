@@ -51,12 +51,18 @@ def main():
     lig_vol = pipe.voxelize(cplx.ligand.centered())
     rep_rec, rep_lig, coupling = pipe.model.apply(
         {"params": params}, rec_vol, lig_vol)
-    jax.block_until_ready((rep_rec, rep_lig))
+    import numpy as _np
+    _np.asarray(rep_rec[0, 0, 0]), _np.asarray(rep_lig[0, 0, 0])
+
+    import numpy as np
 
     def run(rotations):
         res = dock_sweep(rep_rec, rep_lig, rotations, coupling,
                          top_k=cfg.top_k, chunk=chunk)
-        jax.block_until_ready(res)
+        # Synchronize by fetching outputs: on the tunneled axon platform
+        # block_until_ready can return before execution completes, so a
+        # device->host copy is the only reliable fence.
+        np.asarray(res.scores)
         return res
 
     # Probe: compile + steady-state rate on a small rotation set.

@@ -38,12 +38,49 @@ def _source_lattice(R: jax.Array, L: int) -> jax.Array:
 
 
 def rotate_volume(vol: jax.Array, R: jax.Array, *, order: int = 1) -> jax.Array:
-    """Rotate ``[L, L, L, C]`` volume by ``R`` about the grid center."""
-    L = vol.shape[0]
-    src = _source_lattice(R, L)
-    sample = lambda ch: map_coordinates(ch, list(src), order=order,
-                                        mode="constant", cval=0.0)
-    return jax.vmap(sample, in_axes=-1, out_axes=-1)(vol)
+    """Rotate ``[L, L, L, C]`` volume by ``R`` about the grid center.
+
+    TPU note: implemented as 8 *row* gathers over the flattened
+    ``[L^3, C]`` volume (one per trilinear corner) rather than
+    per-channel ``map_coordinates`` — gathering C-channel rows keeps the
+    lane dimension contiguous and is an order of magnitude faster on TPU
+    than C independent scalar gathers.
+    """
+    if order == 0:
+        src = _source_lattice(R, vol.shape[0])
+        sample = lambda ch: map_coordinates(ch, list(src), order=0,
+                                            mode="constant", cval=0.0)
+        return jax.vmap(sample, in_axes=-1, out_axes=-1)(vol)
+    return _rotate_trilinear_rows(vol, R)
+
+
+def _rotate_trilinear_rows(vol: jax.Array, R: jax.Array) -> jax.Array:
+    L, C = vol.shape[0], vol.shape[-1]
+    src = _source_lattice(R, L).reshape(3, -1)        # [3, L^3]
+    f = jnp.floor(src)
+    frac = src - f                                    # [3, L^3]
+    i0 = f.astype(jnp.int32)
+    vol_flat = vol.reshape(L * L * L, C)
+
+    out = jnp.zeros((L * L * L, C), dtype=vol.dtype)
+    for dx in (0, 1):
+        wx = frac[0] if dx else 1.0 - frac[0]
+        ix = i0[0] + dx
+        vx = (ix >= 0) & (ix < L)
+        for dy in (0, 1):
+            wy = frac[1] if dy else 1.0 - frac[1]
+            iy = i0[1] + dy
+            vy = (iy >= 0) & (iy < L)
+            for dz in (0, 1):
+                wz = frac[2] if dz else 1.0 - frac[2]
+                iz = i0[2] + dz
+                vz = (iz >= 0) & (iz < L)
+                w = jnp.where(vx & vy & vz, wx * wy * wz, 0.0)
+                idx = ((jnp.clip(ix, 0, L - 1) * L
+                        + jnp.clip(iy, 0, L - 1)) * L
+                       + jnp.clip(iz, 0, L - 1))
+                out = out + w[:, None] * jnp.take(vol_flat, idx, axis=0)
+    return out.reshape(L, L, L, C)
 
 
 def rotate_volumes(vol: jax.Array, Rs: jax.Array, *, order: int = 1) -> jax.Array:
