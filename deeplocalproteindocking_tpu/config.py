@@ -30,6 +30,9 @@ class DockConfig:
     # --- sweep (reference: EQDocker + rotation sets) ---
     num_rotations: int = 13000
     rotation_chunk: int = 16      # rotations per scan step (batched FFTs)
+    sweep_mode: str = "resplat"   # "resplat" (TPU-fast, exact rotation)
+                                  # | "resample" (reference-style rep rotation)
+    lig_grid_size: Optional[int] = None  # ligand box; None = auto-fit
     top_k: int = 32               # poses kept per complex
     local_cone_deg: Optional[float] = None  # local docking: cone half-angle
     nms_rmsd: float = 5.0         # greedy clustering suppression radius (A)
@@ -49,6 +52,7 @@ class DockConfig:
 
     # --- misc ---
     seed: int = 0
+    debug_nans: bool = False   # jax_debug_nans guard (SURVEY.md §5.2)
 
     @property
     def c_rep(self) -> int:

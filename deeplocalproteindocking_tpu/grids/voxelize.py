@@ -100,3 +100,58 @@ def splat(coords: jax.Array,
     grid = jnp.zeros((L * L * L * T,), dtype=coords.dtype)
     grid = grid.at[flat.reshape(-1)].add(w.reshape(-1))
     return grid.reshape(L, L, L, T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "resolution", "sigma", "num_types"),
+)
+def separable_splat(coords: jax.Array,
+                    types: jax.Array,
+                    mask: jax.Array | None = None,
+                    *,
+                    grid_size: int = 64,
+                    resolution: float = 1.25,
+                    sigma: float = 1.0,
+                    num_types: int = 11,
+                    origin: jax.Array | None = None) -> jax.Array:
+    """Matmul-formulated Gaussian splat: no scatter, no gather.
+
+    The Gaussian is separable, so the density factorizes per axis:
+
+        D[x, y, z, t] = sum_a Px[a, x] * Py[a, y] * Pz[a, z] * 1[type_a = t]
+
+    computed as one MXU contraction: ``U[a, (y,z)] = Py odot Pz`` then
+    ``D[(y,z), (x,t)] = U^T @ (Px odot onehot)``.  This is the TPU
+    answer to the reference's CUDA atom-scatter kernel for the *hot*
+    path (per-rotation ligand re-splat in the resplat sweep mode): dense
+    profiles keep everything on the MXU/VPU, the output is exact (full
+    support — no window truncation), deterministic, and differentiable
+    w.r.t. coords through the profile exponentials.
+
+    Intended for small boxes (ligand-sized, L <= 64): the intermediate
+    ``U`` is ``[N, L^2]``.  For the big receptor box use :func:`splat`
+    (scatter version, off the hot path).
+    """
+    L, T = grid_size, num_types
+    if origin is None:
+        origin = default_origin(L, resolution)
+    if mask is None:
+        mask = jnp.ones(coords.shape[:-1], dtype=coords.dtype)
+    mask = mask.astype(coords.dtype) * (types >= 0).astype(coords.dtype)
+    tsafe = jnp.clip(types, 0, T - 1)
+
+    g = (coords - origin) / resolution - 0.5          # voxel-unit centers
+    centers = jnp.arange(L, dtype=coords.dtype)       # [L]
+    d = (g[:, :, None] - centers[None, None, :]) * resolution
+    prof = jnp.exp(-(d * d) / (2.0 * sigma * sigma))  # [N, 3, L]
+    px, py, pz = prof[:, 0], prof[:, 1], prof[:, 2]   # [N, L] each
+    px = px * mask[:, None]
+
+    onehot = jax.nn.one_hot(tsafe, T, dtype=coords.dtype)      # [N, T]
+    # W[a, x, t] = Px * onehot ; U[a, y, z] = Py * Pz
+    W = px[:, :, None] * onehot[:, None, :]                    # [N, L, T]
+    U = py[:, :, None] * pz[:, None, :]                        # [N, L, L]
+    D = jnp.einsum("ayz,axt->xyzt", U, W,
+                   preferred_element_type=jnp.float32)
+    return D

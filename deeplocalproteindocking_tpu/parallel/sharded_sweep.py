@@ -82,6 +82,68 @@ def sharded_dock_sweep(mesh: Mesh,
     return mapped(rec_rep, lig_rep, rotations, n_valid)
 
 
+def sharded_dock_sweep_resplat(mesh: Mesh,
+                               H: jax.Array,
+                               lig_coords: jax.Array,
+                               lig_types: jax.Array,
+                               lig_mask: jax.Array,
+                               rotations: jax.Array,
+                               rep_fn,
+                               *,
+                               grid_size: int,
+                               lig_grid: int,
+                               resolution: float,
+                               sigma: float,
+                               num_types: int,
+                               top_k: int = 32,
+                               chunk: int = 8,
+                               score_mask: Optional[jax.Array] = None
+                               ) -> DockResult:
+    """Rotation-sharded resplat sweep (see sweep/resplat.py).
+
+    Same communication pattern as :func:`sharded_dock_sweep`: only the
+    per-chip top-K candidate lists cross ICI.
+    """
+    from deeplocalproteindocking_tpu.sweep.resplat import (
+        dock_sweep_resplat)
+
+    n_dev = mesh.shape["rot"]
+    n_rot = rotations.shape[0]
+    per_shard = -(-n_rot // (n_dev * chunk)) * chunk
+    pad = per_shard * n_dev - n_rot
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=rotations.dtype),
+                               (pad, 3, 3))
+        rotations = jnp.concatenate([rotations, eye], axis=0)
+
+    def shard_fn(H_, lc, lt, lm, rots, n_valid):
+        shard = jax.lax.axis_index("rot")
+        base = (shard * per_shard).astype(jnp.int32)
+        local_valid = jnp.clip(n_valid - base, 0, per_shard)
+        res = dock_sweep_resplat(
+            H_, lc, lt, lm, rots, rep_fn, grid_size=grid_size,
+            lig_grid=lig_grid, resolution=resolution, sigma=sigma,
+            num_types=num_types, top_k=top_k, chunk=chunk,
+            score_mask=score_mask, num_valid=local_valid)
+        rot_idx = res.rot_idx + base
+        valid = rot_idx < n_valid
+        scores = jnp.where(valid, res.scores, -jnp.inf)
+        all_scores = jax.lax.all_gather(scores, "rot").reshape(-1)
+        all_rot = jax.lax.all_gather(rot_idx, "rot").reshape(-1)
+        all_shift = jax.lax.all_gather(res.shifts, "rot").reshape(-1, 3)
+        best, sel = jax.lax.top_k(all_scores, top_k)
+        return DockResult(scores=best, rot_idx=all_rot[sel],
+                          shifts=all_shift[sel])
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rot"), P()),
+        out_specs=DockResult(scores=P(), rot_idx=P(), shifts=P()),
+        check_vma=False)
+    n_valid = jnp.asarray(n_rot, dtype=jnp.int32)
+    return mapped(H, lig_coords, lig_types, lig_mask, rotations, n_valid)
+
+
 def jit_sharded_dock_sweep(mesh: Mesh, *, top_k: int, chunk: int):
     """Jitted closure over the mesh/static args (compile once per shape)."""
     @functools.partial(jax.jit, static_argnames=())

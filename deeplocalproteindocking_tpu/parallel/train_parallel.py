@@ -26,11 +26,7 @@ from deeplocalproteindocking_tpu.train.trainer import (
     TrainBatch, Trainer, TrainState,
 )
 from deeplocalproteindocking_tpu.train.losses import ranking_hinge_loss
-from deeplocalproteindocking_tpu.correlate.fft import (
-    receptor_transform, score_at,
-)
-from deeplocalproteindocking_tpu.grids.rotate import rotate_volume
-from deeplocalproteindocking_tpu.grids.voxelize import splat
+from deeplocalproteindocking_tpu.train.scoring_path import complex_scores
 
 
 def make_parallel_train_step(trainer: Trainer, mesh: Mesh):
@@ -48,21 +44,9 @@ def make_parallel_train_step(trainer: Trainer, mesh: Mesh):
 
     def local_complex_loss(params, rec_c, rec_t, rec_m, lig_c, lig_t,
                            lig_m, d_rot, d_shift, d_lrmsd_full):
-        kw = dict(grid_size=cfg.grid_size, resolution=cfg.resolution,
-                  sigma=cfg.sigma, window=cfg.splat_window,
-                  num_types=cfg.num_atom_types)
-        rec_vol = splat(rec_c, rec_t, rec_m, **kw)
-        lig_vol = splat(lig_c, lig_t, lig_m, **kw)
-        rep_rec, rep_lig, coupling = model.apply(
-            {"params": params}, rec_vol, lig_vol)
-        H = receptor_transform(rep_rec, coupling)
-
-        @jax.checkpoint
-        def score_one(args):
-            R, s = args
-            return score_at(H, rotate_volume(rep_lig, R), s[None])[0]
-
-        local_scores = jax.lax.map(score_one, (d_rot, d_shift))
+        local_scores = complex_scores(model, cfg, params, rec_c, rec_t,
+                                      rec_m, lig_c, lig_t, lig_m,
+                                      d_rot, d_shift)
         # Full decoy score vector: the ranking loss pairs every
         # near-native with every decoy, so scores cross shards.
         scores = jax.lax.all_gather(local_scores, "rot").reshape(-1)

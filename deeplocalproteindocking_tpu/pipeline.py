@@ -128,6 +128,27 @@ class DockingPipeline:
                                    cfg.num_rotations)
         return super_fibonacci_rotations(cfg.num_rotations)
 
+    def _ligand_rep_fn(self):
+        """Batched density->representation closure for the resplat sweep."""
+        if self.params is None:
+            def rep_fn(vols):  # analytic shape channels, batched
+                return jax.vmap(
+                    lambda v: shape_complementarity_reps(v)[0])(vols)
+            return rep_fn
+        params = self.params
+        model = self.model
+
+        def rep_fn(vols):
+            return model.apply({"params": params}, vols,
+                               method=model.represent)
+        return rep_fn
+
+    def _receptive_field(self) -> int:
+        if self.params is None:
+            return 3                      # shape mode: 2-voxel dilation + 1
+        cfg = self.config
+        return len(cfg.rep_features) * (cfg.rep_kernel // 2) + 1
+
     # ---- the full stack (SURVEY.md §3.1) ----
     def dock(self, rec: Structure, lig: Structure,
              rotations: Optional[jax.Array] = None,
@@ -158,13 +179,37 @@ class DockingPipeline:
             score_mask = translation_mask(
                 cfg.grid_size, int(round(max_shift / cfg.resolution)),
                 center)
-        if self.mesh is not None:
+        if cfg.sweep_mode == "resplat":
+            from deeplocalproteindocking_tpu.correlate.fft import (
+                receptor_transform)
+            from deeplocalproteindocking_tpu.sweep.resplat import (
+                auto_ligand_grid, dock_sweep_resplat)
+            H = receptor_transform(rep_rec, coupling)
+            lc, lt, lm = structure_to_device(lig_c)
+            lig_grid = cfg.lig_grid_size or auto_ligand_grid(
+                lig_c.typed().coords, cfg.resolution, cfg.sigma,
+                self._receptive_field(), cfg.grid_size)
+            kw = dict(grid_size=cfg.grid_size, lig_grid=lig_grid,
+                      resolution=cfg.resolution, sigma=cfg.sigma,
+                      num_types=cfg.num_atom_types, top_k=cfg.top_k,
+                      chunk=cfg.rotation_chunk, score_mask=score_mask)
+            if self.mesh is not None:
+                from deeplocalproteindocking_tpu.parallel.sharded_sweep \
+                    import sharded_dock_sweep_resplat
+                res = sharded_dock_sweep_resplat(
+                    self.mesh, H, lc, lt, lm, rotations,
+                    self._ligand_rep_fn(), **kw)
+            else:
+                res = dock_sweep_resplat(H, lc, lt, lm, rotations,
+                                         self._ligand_rep_fn(), **kw)
+        elif self.mesh is not None:
             res = sharded_dock_sweep(
                 self.mesh, rep_rec, rep_lig, rotations, coupling,
                 top_k=cfg.top_k, chunk=cfg.rotation_chunk,
                 score_mask=score_mask)
         else:
-            res = dock_sweep(rep_rec, rep_lig, rotations, coupling,
+            res = dock_sweep(rep_rec, rep_lig,
+                             rotations, coupling,
                              top_k=cfg.top_k, chunk=cfg.rotation_chunk,
                              score_mask=score_mask)
         scores = np.asarray(res.scores)

@@ -90,12 +90,15 @@ def dock_sweep(rec_rep: jax.Array,
     def step(carry, inp):
         c_scores, c_rot, c_flat = carry
         Rc, base = inp
-        lig_rots = rotate_volumes(lig_rep, Rc)              # [chunk,L,L,L,C]
-        S = jax.vmap(lambda v: correlate_scores(H, v))(lig_rots)
+        with jax.named_scope("rotate_ligand_rep"):
+            lig_rots = rotate_volumes(lig_rep, Rc)          # [chunk,L,L,L,C]
+        with jax.named_scope("fft_correlate"):
+            S = jax.vmap(lambda v: correlate_scores(H, v))(lig_rots)
         if score_mask is not None:
             S = jnp.where(score_mask[None], S, neg_inf)
         Sf = S.reshape(chunk, L * L * L)
-        vals, flat = jax.lax.top_k(Sf, top_k)               # [chunk, K]
+        with jax.named_scope("streaming_topk"):
+            vals, flat = jax.lax.top_k(Sf, top_k)           # [chunk, K]
         rot_ids = base + jnp.arange(chunk, dtype=jnp.int32)
         valid = rot_ids < num_valid                         # mask padding
         vals = jnp.where(valid[:, None], vals, neg_inf)

@@ -35,6 +35,18 @@ def make_training_batch(key: jax.Array,
     if max_atoms is None:
         max_atoms = max(max(len(c.receptor.typed()), len(c.ligand.typed()))
                         for c in complexes)
+    if cfg.sweep_mode == "resplat":
+        from deeplocalproteindocking_tpu.train.scoring_path import (
+            train_lig_grid)
+        half_box = 0.5 * train_lig_grid(cfg) * cfg.resolution
+        for c in complexes:
+            lig = c.ligand.centered()
+            extent = float(np.abs(lig.coords).max()) + 3.0 * cfg.sigma
+            if extent > half_box:
+                raise ValueError(
+                    f"ligand of {c.name} (extent {extent:.1f} A) exceeds "
+                    f"the training ligand box ({half_box:.1f} A half-"
+                    f"width); raise config.lig_grid_size")
     k_pick, key = jax.random.split(key)
     idx = jax.random.randint(k_pick, (cfg.batch_complexes,), 0,
                              len(complexes))

@@ -27,11 +27,6 @@ import jax.numpy as jnp
 import optax
 
 from deeplocalproteindocking_tpu.config import DockConfig
-from deeplocalproteindocking_tpu.correlate.fft import (
-    receptor_transform, score_at,
-)
-from deeplocalproteindocking_tpu.grids.rotate import rotate_volume
-from deeplocalproteindocking_tpu.grids.voxelize import splat
 from deeplocalproteindocking_tpu.models.scoring import ScoringModel
 from deeplocalproteindocking_tpu.train.losses import (
     pairwise_ranking_accuracy, ranking_hinge_loss,
@@ -80,23 +75,12 @@ class Trainer:
     # ---- forward/loss ----
     def _complex_loss(self, params, rec_c, rec_t, rec_m,
                       lig_c, lig_t, lig_m, d_rot, d_shift, d_lrmsd):
+        from deeplocalproteindocking_tpu.train.scoring_path import (
+            complex_scores)
         cfg = self.config
-        kw = dict(grid_size=cfg.grid_size, resolution=cfg.resolution,
-                  sigma=cfg.sigma, window=cfg.splat_window,
-                  num_types=cfg.num_atom_types)
-        rec_vol = splat(rec_c, rec_t, rec_m, **kw)
-        lig_vol = splat(lig_c, lig_t, lig_m, **kw)
-        rep_rec, rep_lig, coupling = self.model.apply(
-            {"params": params}, rec_vol, lig_vol)
-        H = receptor_transform(rep_rec, coupling)
-
-        @jax.checkpoint
-        def score_one(args):
-            R, s = args
-            v = rotate_volume(rep_lig, R)
-            return score_at(H, v, s[None])[0]
-
-        scores = jax.lax.map(score_one, (d_rot, d_shift))
+        scores = complex_scores(self.model, cfg, params, rec_c, rec_t,
+                                rec_m, lig_c, lig_t, lig_m, d_rot,
+                                d_shift)
         loss = ranking_hinge_loss(
             scores, d_lrmsd, near_native_rmsd=cfg.near_native_rmsd,
             margin=cfg.hinge_margin)
