@@ -33,6 +33,9 @@ class DockConfig:
     sweep_mode: str = "resplat"   # "resplat" (TPU-fast, exact rotation)
                                   # | "resample" (reference-style rep rotation)
     lig_grid_size: Optional[int] = None  # ligand box; None = auto-fit
+    fft_impl: str = "dft"         # "dft" (matmul-DFT on the MXU)
+                                  # | "xla" (jnp.fft)
+    dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
     top_k: int = 32               # poses kept per complex
     local_cone_deg: Optional[float] = None  # local docking: cone half-angle
     nms_rmsd: float = 5.0         # greedy clustering suppression radius (A)

@@ -58,27 +58,27 @@ class DFTCorrelator:
         kh = np.arange(L // 2 + 1)              # rfft half axis
         xs = np.arange(L)
 
+        # Twiddles are stored as host NumPy arrays (NOT jnp): the
+        # correlator is lru_cached across traces, and jnp constants
+        # created inside one trace would leak tracers into the next.
         # Forward: exp(-2 pi i (pos) k / L), offset folded in.
-        self.WxRe, self.WxIm = map(
-            jnp.asarray, _twiddle(pos, kf, L, -1.0))
+        self.WxRe, self.WxIm = _twiddle(pos, kf, L, -1.0)
         self.WyRe, self.WyIm = self.WxRe, self.WxIm
-        self.WzRe, self.WzIm = map(
-            jnp.asarray, _twiddle(pos, kh, L, -1.0))
+        self.WzRe, self.WzIm = _twiddle(pos, kh, L, -1.0)
 
         # Inverse: exp(+2 pi i k x / L) / L per axis.
-        uxre, uxim = _twiddle(kf, xs, L, +1.0, scale=1.0 / L)
-        self.UxRe, self.UxIm = jnp.asarray(uxre), jnp.asarray(uxim)
+        self.UxRe, self.UxIm = _twiddle(kf, xs, L, +1.0, scale=1.0 / L)
         self.UyRe, self.UyIm = self.UxRe, self.UxIm
         # Final z axis: Hermitian weights fold the missing half-spectrum.
         w = np.full(L // 2 + 1, 2.0)
         w[0] = 1.0
         w[-1] = 1.0
         mzre, mzim = _twiddle(kh, xs, L, +1.0, scale=1.0 / L)
-        self.MzRe = jnp.asarray(mzre * w[:, None])
-        self.MzIm = jnp.asarray(mzim * w[:, None])
+        self.MzRe = mzre * w[:, None]
+        self.MzIm = mzim * w[:, None]
 
     def _cast(self, *xs):
-        return tuple(x.astype(self.dtype) for x in xs)
+        return tuple(jnp.asarray(x).astype(self.dtype) for x in xs)
 
     def ligand_spectrum(self, vols: jax.Array):
         """``[B, Ls, Ls, Ls, C]`` real -> spectrum (re, im) each

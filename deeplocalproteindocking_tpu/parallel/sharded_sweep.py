@@ -97,8 +97,9 @@ def sharded_dock_sweep_resplat(mesh: Mesh,
                                num_types: int,
                                top_k: int = 32,
                                chunk: int = 8,
-                               score_mask: Optional[jax.Array] = None
-                               ) -> DockResult:
+                               score_mask: Optional[jax.Array] = None,
+                               fft_impl: str = "dft",
+                               dft_dtype: str = "float32") -> DockResult:
     """Rotation-sharded resplat sweep (see sweep/resplat.py).
 
     Same communication pattern as :func:`sharded_dock_sweep`: only the
@@ -124,7 +125,8 @@ def sharded_dock_sweep_resplat(mesh: Mesh,
             H_, lc, lt, lm, rots, rep_fn, grid_size=grid_size,
             lig_grid=lig_grid, resolution=resolution, sigma=sigma,
             num_types=num_types, top_k=top_k, chunk=chunk,
-            score_mask=score_mask, num_valid=local_valid)
+            score_mask=score_mask, num_valid=local_valid,
+            fft_impl=fft_impl, dft_dtype=dft_dtype)
         rot_idx = res.rot_idx + base
         valid = rot_idx < n_valid
         scores = jnp.where(valid, res.scores, -jnp.inf)

@@ -192,7 +192,8 @@ class DockingPipeline:
             kw = dict(grid_size=cfg.grid_size, lig_grid=lig_grid,
                       resolution=cfg.resolution, sigma=cfg.sigma,
                       num_types=cfg.num_atom_types, top_k=cfg.top_k,
-                      chunk=cfg.rotation_chunk, score_mask=score_mask)
+                      chunk=cfg.rotation_chunk, score_mask=score_mask,
+                      fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype)
             if self.mesh is not None:
                 from deeplocalproteindocking_tpu.parallel.sharded_sweep \
                     import sharded_dock_sweep_resplat

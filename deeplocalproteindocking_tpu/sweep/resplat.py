@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deeplocalproteindocking_tpu.correlate.dft import get_correlator
 from deeplocalproteindocking_tpu.correlate.fft import (
     correlate_scores, flat_index_to_shift,
 )
@@ -69,7 +70,8 @@ def embed_small(rep_small: jax.Array, grid_size: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("rep_fn", "grid_size", "lig_grid", "resolution",
-                     "sigma", "num_types", "top_k", "chunk"),
+                     "sigma", "num_types", "top_k", "chunk", "fft_impl",
+                     "dft_dtype"),
 )
 def dock_sweep_resplat(H: jax.Array,
                        lig_coords: jax.Array,
@@ -86,7 +88,9 @@ def dock_sweep_resplat(H: jax.Array,
                        top_k: int = 32,
                        chunk: int = 8,
                        score_mask: Optional[jax.Array] = None,
-                       num_valid: Optional[jax.Array] = None) -> DockResult:
+                       num_valid: Optional[jax.Array] = None,
+                       fft_impl: str = "dft",
+                       dft_dtype: str = "float32") -> DockResult:
     """Full rotation sweep with per-rotation coordinate re-splatting.
 
     ``H`` is the coupled receptor spectrum (correlate/fft.py);
@@ -123,8 +127,7 @@ def dock_sweep_resplat(H: jax.Array,
         with jax.named_scope("ligand_cnn"):
             reps = rep_fn(vols)                      # [chunk,Ls,Ls,Ls,C]
         with jax.named_scope("fft_correlate"):
-            big = embed_small(reps, L)               # [chunk,L,L,L,C]
-            S = jax.vmap(lambda v: correlate_scores(H, v))(big)
+            S = _correlate_batch(H, reps, L, fft_impl, dft_dtype)
         if score_mask is not None:
             S = jnp.where(score_mask[None], S, neg_inf)
         Sf = S.reshape(chunk, L * L * L)
@@ -151,6 +154,16 @@ def dock_sweep_resplat(H: jax.Array,
                       shifts=flat_index_to_shift(flat_idx, L))
 
 
+def _correlate_batch(H, reps, grid_size, fft_impl, dft_dtype):
+    """Score volumes ``[B, L, L, L]`` for small-box reps (either engine)."""
+    if fft_impl == "dft":
+        corr = get_correlator(grid_size, reps.shape[-2], dft_dtype)
+        return corr.scores(H.real.astype(jnp.float32),
+                           H.imag.astype(jnp.float32), reps)
+    big = embed_small(reps, grid_size)
+    return jax.vmap(lambda v: correlate_scores(H, v))(big)
+
+
 def score_decoys_resplat(H: jax.Array,
                          lig_coords: jax.Array,
                          lig_types: jax.Array,
@@ -163,7 +176,9 @@ def score_decoys_resplat(H: jax.Array,
                          lig_grid: int,
                          resolution: float,
                          sigma: float,
-                         num_types: int) -> jax.Array:
+                         num_types: int,
+                         fft_impl: str = "dft",
+                         dft_dtype: str = "float32") -> jax.Array:
     """Training path: scores of specific decoy poses ``(R_i, shift_i)``.
 
     Same model definition as the sweep (rotate coords -> splat -> CNN ->
@@ -172,8 +187,6 @@ def score_decoys_resplat(H: jax.Array,
     (BASELINE.json: north_star).  Sequential ``lax.map`` + remat keeps
     reverse-mode memory at one decoy.
     """
-    from deeplocalproteindocking_tpu.correlate.fft import score_at
-
     @jax.checkpoint
     def score_one(args):
         R, s = args
@@ -181,8 +194,9 @@ def score_decoys_resplat(H: jax.Array,
         vol = separable_splat(coords_r, lig_types, lig_mask,
                               grid_size=lig_grid, resolution=resolution,
                               sigma=sigma, num_types=num_types)
-        rep = rep_fn(vol[None])[0]
-        big = embed_small(rep, grid_size)
-        return score_at(H, big, s[None])[0]
+        rep = rep_fn(vol[None])
+        S = _correlate_batch(H, rep, grid_size, fft_impl, dft_dtype)[0]
+        idx = jnp.mod(s, grid_size)
+        return S[idx[0], idx[1], idx[2]]
 
     return jax.lax.map(score_one, (rotations, shifts))

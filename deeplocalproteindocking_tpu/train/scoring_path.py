@@ -52,7 +52,8 @@ def complex_scores(model, cfg: DockConfig, params,
             H, lig_c, lig_t, lig_m, d_rot, d_shift, rep_fn,
             grid_size=cfg.grid_size, lig_grid=train_lig_grid(cfg),
             resolution=cfg.resolution, sigma=cfg.sigma,
-            num_types=cfg.num_atom_types)
+            num_types=cfg.num_atom_types, fft_impl=cfg.fft_impl,
+            dft_dtype=cfg.dft_dtype)
 
     lig_vol = splat(lig_c, lig_t, lig_m, **kw)
     rep_rec, rep_lig, coupling = model.apply(
