@@ -152,6 +152,22 @@ def list_benchmark(root: str) -> List[str]:
     return sorted(codes)
 
 
+def split_benchmark(codes, fractions=(0.7, 0.15, 0.15), seed: int = 0):
+    """Deterministic train/val/test split of complex codes (P6).
+
+    Hash-stable: a code keeps its split when the benchmark grows.
+    """
+    import hashlib
+    names = ("train", "val", "test")
+    edges = np.cumsum(fractions) / float(np.sum(fractions))
+    out = {n: [] for n in names}
+    for code in sorted(codes):
+        h = hashlib.sha256(f"{seed}:{code}".encode()).digest()
+        u = int.from_bytes(h[:8], "big") / 2.0 ** 64
+        out[names[int(np.searchsorted(edges, u, side="right"))]].append(code)
+    return out
+
+
 def structure_to_device(s: Structure, max_atoms: Optional[int] = None):
     """Pad to ``max_atoms`` and move to device arrays (coords, types, mask)."""
     s = s.typed()

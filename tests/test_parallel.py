@@ -92,3 +92,58 @@ class TestParallelTrain:
                                    poses_single.scores, rtol=1e-4)
         np.testing.assert_array_equal(poses_sharded.rot_idx,
                                       poses_single.rot_idx)
+
+
+class TestBatchEval:
+    def _setup(self, B=4):
+        from deeplocalproteindocking_tpu.correlate import receptor_transform
+        from deeplocalproteindocking_tpu.grids.voxelize import separable_splat
+        L, Ls, C = 16, 12, 3
+        rng = np.random.default_rng(0)
+        H, lc, lt, lm = [], [], [], []
+        for b in range(B):
+            coords = jnp.asarray(
+                rng.uniform(-2.5, 2.5, (8, 3)).astype(np.float32))
+            types = jnp.asarray(rng.integers(0, C, 8).astype(np.int32))
+            mask = jnp.ones(8)
+            rec = separable_splat(coords + 1.0, types, mask, grid_size=L,
+                                  resolution=1.0, num_types=C)
+            H.append(receptor_transform(rec))
+            lc.append(coords); lt.append(types); lm.append(mask)
+        return (jnp.stack(H), jnp.stack(lc), jnp.stack(lt),
+                jnp.stack(lm), L, Ls, C)
+
+    def test_batched_matches_loop(self):
+        from deeplocalproteindocking_tpu.parallel.batch_eval import dock_batch
+        from deeplocalproteindocking_tpu.sweep.resplat import (
+            dock_sweep_resplat)
+        H, lc, lt, lm, L, Ls, C = self._setup()
+        rots = super_fibonacci_rotations(6)
+        rep = lambda v: v
+        kw = dict(grid_size=L, lig_grid=Ls, resolution=1.0, sigma=1.0,
+                  num_types=C, top_k=4, chunk=2)
+        got = dock_batch(None, H, lc, lt, lm, rots, rep, **kw)
+        for b in range(H.shape[0]):
+            want = dock_sweep_resplat(H[b], lc[b], lt[b], lm[b], rots,
+                                      rep, **kw)
+            np.testing.assert_allclose(np.asarray(got.scores[b]),
+                                       np.asarray(want.scores), rtol=1e-4)
+            np.testing.assert_array_equal(np.asarray(got.rot_idx[b]),
+                                          np.asarray(want.rot_idx))
+
+    def test_mesh_2d_matches_unsharded(self):
+        from deeplocalproteindocking_tpu.parallel.batch_eval import dock_batch
+        H, lc, lt, lm, L, Ls, C = self._setup(B=4)
+        rots = super_fibonacci_rotations(7)  # uneven over rot shards
+        rep = lambda v: v
+        kw = dict(grid_size=L, lig_grid=Ls, resolution=1.0, sigma=1.0,
+                  num_types=C, top_k=4, chunk=2)
+        want = dock_batch(None, H, lc, lt, lm, rots, rep, **kw)
+        mesh = make_mesh(rot=4, batch=2)
+        got = dock_batch(mesh, H, lc, lt, lm, rots, rep, **kw)
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(want.scores), rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(got.rot_idx),
+                                      np.asarray(want.rot_idx))
+        np.testing.assert_array_equal(np.asarray(got.shifts),
+                                      np.asarray(want.shifts))

@@ -138,3 +138,19 @@ class TestSO3:
         R = axis_angle_to_matrix(jnp.array([1.0, 0, 0]), jnp.array(0.7))
         a = geodesic_angle(R, jnp.eye(3))
         np.testing.assert_allclose(a, 0.7, atol=1e-5)
+
+
+class TestSplits:
+    def test_split_benchmark(self):
+        from deeplocalproteindocking_tpu.data.benchmark import (
+            split_benchmark)
+        codes = [f"c{i:03d}" for i in range(200)]
+        sp = split_benchmark(codes)
+        assert sorted(sp["train"] + sp["val"] + sp["test"]) == sorted(codes)
+        assert 100 < len(sp["train"]) < 180
+        # determinism + stability under growth
+        sp2 = split_benchmark(codes)
+        assert sp == sp2
+        sp3 = split_benchmark(codes + ["zzz"])
+        for n in ("train", "val", "test"):
+            assert set(sp[n]) <= set(sp3[n])
