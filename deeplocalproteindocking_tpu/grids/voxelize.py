@@ -104,7 +104,8 @@ def splat(coords: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_size", "resolution", "sigma", "num_types"),
+    static_argnames=("grid_size", "resolution", "sigma", "num_types",
+                     "atom_chunk"),
 )
 def separable_splat(coords: jax.Array,
                     types: jax.Array,
@@ -114,7 +115,8 @@ def separable_splat(coords: jax.Array,
                     resolution: float = 1.25,
                     sigma: float = 1.0,
                     num_types: int = 11,
-                    origin: jax.Array | None = None) -> jax.Array:
+                    origin: jax.Array | None = None,
+                    atom_chunk: int | None = None) -> jax.Array:
     """Matmul-formulated Gaussian splat: no scatter, no gather.
 
     The Gaussian is separable, so the density factorizes per axis:
@@ -141,17 +143,40 @@ def separable_splat(coords: jax.Array,
     mask = mask.astype(coords.dtype) * (types >= 0).astype(coords.dtype)
     tsafe = jnp.clip(types, 0, T - 1)
 
-    g = (coords - origin) / resolution - 0.5          # voxel-unit centers
-    centers = jnp.arange(L, dtype=coords.dtype)       # [L]
-    d = (g[:, :, None] - centers[None, None, :]) * resolution
-    prof = jnp.exp(-(d * d) / (2.0 * sigma * sigma))  # [N, 3, L]
-    px, py, pz = prof[:, 0], prof[:, 1], prof[:, 2]   # [N, L] each
-    px = px * mask[:, None]
+    def contract(coords_c, tsafe_c, mask_c):
+        g = (coords_c - origin) / resolution - 0.5    # voxel-unit centers
+        centers = jnp.arange(L, dtype=coords_c.dtype)
+        d = (g[:, :, None] - centers[None, None, :]) * resolution
+        prof = jnp.exp(-(d * d) / (2.0 * sigma * sigma))   # [n, 3, L]
+        px, py, pz = prof[:, 0], prof[:, 1], prof[:, 2]
+        px = px * mask_c[:, None]
+        onehot = jax.nn.one_hot(tsafe_c, T, dtype=coords_c.dtype)
+        # W[a, x, t] = Px * onehot ; U[a, y, z] = Py * Pz
+        W = px[:, :, None] * onehot[:, None, :]            # [n, L, T]
+        U = py[:, :, None] * pz[:, None, :]                # [n, L, L]
+        return jnp.einsum("ayz,axt->xyzt", U, W,
+                          preferred_element_type=jnp.float32)
 
-    onehot = jax.nn.one_hot(tsafe, T, dtype=coords.dtype)      # [N, T]
-    # W[a, x, t] = Px * onehot ; U[a, y, z] = Py * Pz
-    W = px[:, :, None] * onehot[:, None, :]                    # [N, L, T]
-    U = py[:, :, None] * pz[:, None, :]                        # [N, L, L]
-    D = jnp.einsum("ayz,axt->xyzt", U, W,
-                   preferred_element_type=jnp.float32)
-    return D
+    n = coords.shape[0]
+    if atom_chunk is None or n <= atom_chunk:
+        return contract(coords, tsafe, mask)
+
+    # Bound the [n, L^2] intermediate on big grids: scan over atom
+    # chunks, accumulating the density.
+    pad = (-n) % atom_chunk
+    coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
+    tsafe_p = jnp.pad(tsafe, (0, pad))
+    mask_p = jnp.pad(mask, (0, pad))
+    nc = coords_p.shape[0] // atom_chunk
+
+    def body(acc, inp):
+        c, t, m = inp
+        return acc + contract(c, t, m), None
+
+    init = jnp.zeros((L, L, L, T), dtype=jnp.float32)
+    out, _ = jax.lax.scan(
+        body, init,
+        (coords_p.reshape(nc, atom_chunk, 3),
+         tsafe_p.reshape(nc, atom_chunk),
+         mask_p.reshape(nc, atom_chunk)))
+    return out

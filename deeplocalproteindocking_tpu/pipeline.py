@@ -31,7 +31,7 @@ from deeplocalproteindocking_tpu.config import DockConfig
 from deeplocalproteindocking_tpu.data.benchmark import (
     Complex, structure_to_device,
 )
-from deeplocalproteindocking_tpu.grids.voxelize import splat
+from deeplocalproteindocking_tpu.grids.voxelize import separable_splat
 from deeplocalproteindocking_tpu.models.scoring import ScoringModel
 from deeplocalproteindocking_tpu.parallel.sharded_sweep import (
     sharded_dock_sweep,
@@ -105,12 +105,16 @@ class DockingPipeline:
         return self.params
 
     def voxelize(self, s: Structure, max_atoms: Optional[int] = None):
+        # Matmul separable splat (atom-chunked on big grids): the
+        # scatter-add variant compiles pathologically slowly at 128^3 on
+        # the TPU AOT compiler and is kept as the test oracle only.
         cfg = self.config
         coords, types, mask = structure_to_device(s, max_atoms)
-        return splat(coords, types, mask, grid_size=cfg.grid_size,
-                     resolution=cfg.resolution, sigma=cfg.sigma,
-                     window=cfg.splat_window,
-                     num_types=cfg.num_atom_types)
+        return separable_splat(
+            coords, types, mask, grid_size=cfg.grid_size,
+            resolution=cfg.resolution, sigma=cfg.sigma,
+            num_types=cfg.num_atom_types,
+            atom_chunk=512 if cfg.grid_size >= 96 else None)
 
     def representations(self, rec_vol: jax.Array, lig_vol: jax.Array):
         if self.params is None:

@@ -20,7 +20,7 @@ from deeplocalproteindocking_tpu.correlate.fft import (
     receptor_transform, score_at,
 )
 from deeplocalproteindocking_tpu.grids.rotate import rotate_volume
-from deeplocalproteindocking_tpu.grids.voxelize import splat
+from deeplocalproteindocking_tpu.grids.voxelize import separable_splat
 from deeplocalproteindocking_tpu.sweep.resplat import score_decoys_resplat
 
 
@@ -35,9 +35,9 @@ def complex_scores(model, cfg: DockConfig, params,
                    d_rot, d_shift) -> jax.Array:
     """Scores ``[D]`` of one complex's decoy set (differentiable)."""
     kw = dict(grid_size=cfg.grid_size, resolution=cfg.resolution,
-              sigma=cfg.sigma, window=cfg.splat_window,
-              num_types=cfg.num_atom_types)
-    rec_vol = splat(rec_c, rec_t, rec_m, **kw)
+              sigma=cfg.sigma, num_types=cfg.num_atom_types,
+              atom_chunk=512 if cfg.grid_size >= 96 else None)
+    rec_vol = separable_splat(rec_c, rec_t, rec_m, **kw)
 
     if cfg.sweep_mode == "resplat":
         rep_rec = model.apply({"params": params}, rec_vol,
@@ -55,7 +55,7 @@ def complex_scores(model, cfg: DockConfig, params,
             num_types=cfg.num_atom_types, fft_impl=cfg.fft_impl,
             dft_dtype=cfg.dft_dtype)
 
-    lig_vol = splat(lig_c, lig_t, lig_m, **kw)
+    lig_vol = separable_splat(lig_c, lig_t, lig_m, **kw)
     rep_rec, rep_lig, coupling = model.apply(
         {"params": params}, rec_vol, lig_vol)
     H = receptor_transform(rep_rec, coupling)
