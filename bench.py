@@ -39,6 +39,9 @@ def main():
     probe_only = os.environ.get("BENCH_PROBE_ONLY", "0") == "1"
 
     import jax
+    from deeplocalproteindocking_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from deeplocalproteindocking_tpu.config import DockConfig
     from deeplocalproteindocking_tpu.correlate.fft import (
         receptor_transform)

@@ -23,6 +23,11 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--local-cone-deg", type=float, default=None)
     p.add_argument("--mesh-rot", type=int, default=None)
+    p.add_argument("--sweep-mode", default=None,
+                   choices=["resplat", "resample"])
+    p.add_argument("--fft-impl", default=None, choices=["dft", "xla"])
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5.2)")
     p.add_argument("--profile", default=None,
                    help="directory for a jax.profiler trace")
 
@@ -34,8 +39,15 @@ def _build_config(args):
         ("grid_size", "grid_size"), ("resolution", "resolution"),
         ("num_rotations", "num_rotations"), ("top_k", "top_k"),
         ("local_cone_deg", "local_cone_deg"), ("mesh_rot", "mesh_rot"),
+        ("sweep_mode", "sweep_mode"), ("fft_impl", "fft_impl"),
     ] if getattr(args, a, None) is not None}
-    return cfg.replace(**overrides)
+    if getattr(args, "debug_nans", False):
+        overrides["debug_nans"] = True
+    cfg = cfg.replace(**overrides)
+    if cfg.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    return cfg
 
 
 def _build_pipeline(cfg, checkpoint=None):
@@ -192,6 +204,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+    from deeplocalproteindocking_tpu.utils.cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -98,8 +98,11 @@ class DockingPipeline:
 
     # ---- building blocks ----
     def init_params(self, seed: int = 0) -> dict:
+        # Conv params are independent of spatial dims: init on a tiny
+        # dummy (a full-grid init costs a multi-minute 128^3 conv
+        # compile on the remote TPU AOT compiler for nothing).
         cfg = self.config
-        dummy = jnp.zeros((cfg.grid_size,) * 3 + (cfg.num_atom_types,))
+        dummy = jnp.zeros((16,) * 3 + (cfg.num_atom_types,))
         self.params = self.model.init(jax.random.key(seed), dummy,
                                       dummy)["params"]
         return self.params
@@ -114,7 +117,7 @@ class DockingPipeline:
             coords, types, mask, grid_size=cfg.grid_size,
             resolution=cfg.resolution, sigma=cfg.sigma,
             num_types=cfg.num_atom_types,
-            atom_chunk=512 if cfg.grid_size >= 96 else None)
+            atom_chunk=4096 if len(coords) > 4096 else None)
 
     def representations(self, rec_vol: jax.Array, lig_vol: jax.Array):
         if self.params is None:

@@ -36,7 +36,7 @@ def complex_scores(model, cfg: DockConfig, params,
     """Scores ``[D]`` of one complex's decoy set (differentiable)."""
     kw = dict(grid_size=cfg.grid_size, resolution=cfg.resolution,
               sigma=cfg.sigma, num_types=cfg.num_atom_types,
-              atom_chunk=512 if cfg.grid_size >= 96 else None)
+              atom_chunk=4096 if rec_c.shape[0] > 4096 else None)
     rec_vol = separable_splat(rec_c, rec_t, rec_m, **kw)
 
     if cfg.sweep_mode == "resplat":

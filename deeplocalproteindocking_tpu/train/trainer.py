@@ -66,7 +66,8 @@ class Trainer:
         cfg = self.config
         key = jax.random.key(cfg.seed if seed is None else seed)
         k_init, key = jax.random.split(key)
-        dummy = jnp.zeros((cfg.grid_size,) * 3 + (cfg.num_atom_types,))
+        # Tiny dummy: conv param shapes don't depend on spatial dims.
+        dummy = jnp.zeros((16,) * 3 + (cfg.num_atom_types,))
         params = self.model.init(k_init, dummy, dummy)["params"]
         return TrainState(params=params,
                           opt_state=self.optimizer.init(params),

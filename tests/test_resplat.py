@@ -200,3 +200,50 @@ class TestResplatSweep:
         fd = (f(coords + eps * e) - f(coords - eps * e)) / (2 * eps)
         np.testing.assert_allclose(float((g * e).sum()), float(fd),
                                    rtol=5e-2, atol=1e-3)
+
+
+class TestRefine:
+    def test_recovers_subvoxel_shift(self):
+        from deeplocalproteindocking_tpu.sweep.refine import (
+            continuous_score, refine_poses)
+        L, Ls = 16, 12
+        coords, types, mask = _atoms(n=10, spread=2.5)
+        t_true = jnp.array([1.4, -0.6, 2.3])   # fractional voxels
+        rec = separable_splat(coords + t_true, types, mask, grid_size=L,
+                              resolution=1.0, num_types=4)
+        H = receptor_transform(rec)
+        kw = dict(grid_size=L, lig_grid=Ls, resolution=1.0, sigma=1.0,
+                  num_types=4)
+        # Coarse sweep snaps to the nearest voxel.
+        res = dock_sweep_resplat(H, coords, types, mask,
+                                 jnp.eye(3)[None], _identity_rep,
+                                 top_k=1, chunk=1, **kw)
+        np.testing.assert_array_equal(np.asarray(res.shifts[0]),
+                                      [1, -1, 2])
+        out = refine_poses(H, coords, types, mask,
+                           jnp.eye(3)[None], res.shifts[:1],
+                           _identity_rep, steps=60, lr=0.05, **kw)
+        assert float(out.scores[0]) >= float(out.initial_scores[0])
+        t_ref = np.asarray(out.translations[0])   # resolution=1 -> voxels
+        np.testing.assert_allclose(t_ref, np.asarray(t_true), atol=0.25)
+
+    def test_continuous_matches_lattice_score(self):
+        from deeplocalproteindocking_tpu.sweep.refine import (
+            continuous_score)
+        from deeplocalproteindocking_tpu.sweep.resplat import (
+            score_decoys_resplat)
+        L, Ls = 16, 12
+        coords, types, mask = _atoms(n=8, spread=2.5)
+        rec = separable_splat(coords + 1.0, types, mask, grid_size=L,
+                              resolution=1.0, num_types=4)
+        H = receptor_transform(rec)
+        kw = dict(grid_size=L, lig_grid=Ls, resolution=1.0, sigma=1.0,
+                  num_types=4)
+        shift = jnp.array([2, -1, 3])
+        want = score_decoys_resplat(H, coords, types, mask,
+                                    jnp.eye(3)[None], shift[None],
+                                    _identity_rep, **kw)[0]
+        got = continuous_score(H, coords, types, mask, jnp.eye(3),
+                               shift.astype(jnp.float32),
+                               _identity_rep, **kw)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
