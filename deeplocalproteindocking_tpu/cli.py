@@ -75,6 +75,9 @@ def cmd_dock(args):
     lig = parse_pdb(args.ligand).typed()
     with maybe_trace(args.profile):
         poses = pipe.dock(rec, lig)
+        if args.refine_steps:
+            poses = pipe.refine(rec, lig, poses,
+                                steps=args.refine_steps)
     os.makedirs(args.out, exist_ok=True)
     lig_centered = lig.centered()
     for i in range(min(len(poses), args.num_out)):
@@ -172,6 +175,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num-out", type=int, default=10)
+    p.add_argument("--refine-steps", type=int, default=0,
+                   help="continuous pose refinement iterations")
     _add_config_args(p)
     p.set_defaults(fn=cmd_dock)
 

@@ -237,3 +237,42 @@ class DockingPipeline:
 
     def dock_complex(self, cplx: Complex, **kw) -> PoseSet:
         return self.dock(cplx.receptor, cplx.ligand, **kw)
+
+    # ---- continuous refinement (sweep/refine.py; no reference analog) ----
+    def refine(self, rec: Structure, lig: Structure, poses: PoseSet,
+               steps: int = 30, lr: float = 0.02) -> PoseSet:
+        """Polish poses by gradient ascent in continuous pose space.
+
+        Returns a re-ranked PoseSet with continuous translations
+        (shifts hold the nearest lattice point for bookkeeping).
+        """
+        from deeplocalproteindocking_tpu.correlate.fft import (
+            receptor_transform)
+        from deeplocalproteindocking_tpu.sweep.refine import refine_poses
+        from deeplocalproteindocking_tpu.sweep.resplat import (
+            auto_ligand_grid)
+        cfg = self.config
+        rec_c, lig_c = rec.centered(), lig.centered()
+        rec_vol = self.voxelize(rec_c)
+        lig_vol = self.voxelize(lig_c)
+        rep_rec, _, coupling = self.representations(rec_vol, lig_vol)
+        H = receptor_transform(rep_rec, coupling)
+        lc, lt, lm = structure_to_device(lig_c)
+        lig_grid = cfg.lig_grid_size or auto_ligand_grid(
+            lig_c.typed().coords, cfg.resolution, cfg.sigma,
+            self._receptive_field(), cfg.grid_size)
+        out = refine_poses(
+            H, lc, lt, lm, jnp.asarray(poses.rotations),
+            jnp.asarray(poses.shifts), self._ligand_rep_fn(),
+            grid_size=cfg.grid_size, lig_grid=lig_grid,
+            resolution=cfg.resolution, sigma=cfg.sigma,
+            num_types=cfg.num_atom_types, steps=steps, lr=lr)
+        order = np.argsort(-np.asarray(out.scores))
+        return PoseSet(
+            scores=np.asarray(out.scores)[order],
+            rotations=np.asarray(out.rotations)[order],
+            translations=np.asarray(out.translations)[order],
+            rot_idx=poses.rot_idx[order],
+            shifts=np.round(np.asarray(out.translations)[order]
+                            / cfg.resolution).astype(np.int32),
+        )

@@ -106,3 +106,16 @@ class TestEndToEnd:
                     resolution=cfg.resolution)
         text = path.read_text()
         assert "ZYX" in text and "-9999" in text
+
+    def test_pipeline_refine(self):
+        cplx = synthetic_complex(seed=3, n_res_rec=10, n_res_lig=5)
+        cfg = small_config(grid_size=32, num_rotations=8, top_k=4)
+        pipe = DockingPipeline(config=cfg)
+        poses = pipe.dock_complex(cplx, cluster=False)
+        refined = pipe.refine(cplx.receptor, cplx.ligand, poses,
+                              steps=10, lr=0.03)
+        assert len(refined) == len(poses)
+        # Refinement never loses score (kept only if improved) and the
+        # result is re-ranked descending.
+        assert refined.scores[0] >= poses.scores[0] - 1e-3
+        assert np.all(np.diff(refined.scores) <= 1e-5)
