@@ -123,7 +123,8 @@ def cmd_evaluate(args):
     pipe = _build_pipeline(cfg, args.checkpoint)
     complexes = _load_complexes(args)
     with maybe_trace(args.profile):
-        summary = run_benchmark(pipe, complexes, args.out)
+        summary = run_benchmark(pipe, complexes, args.out,
+                                refine_steps=args.refine_steps)
     print(json.dumps(summary, indent=2))
 
 
@@ -192,6 +193,7 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=4)
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--refine-steps", type=int, default=0)
     _add_config_args(p)
     p.set_defaults(fn=cmd_evaluate)
 

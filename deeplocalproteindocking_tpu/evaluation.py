@@ -59,8 +59,29 @@ def _dense_res_ids(s) -> np.ndarray:
     return dense.astype(np.int32)
 
 
-def evaluate_complex(pipeline: DockingPipeline, cplx: Complex) -> Dict:
-    poses = pipeline.dock_complex(cplx)
+def evaluate_complex(pipeline: DockingPipeline, cplx: Complex,
+                     refine_steps: int = 0) -> Dict:
+    """Dock + grade one complex.
+
+    When ``config.local_cone_deg`` is set this runs the reference's
+    *local docking* protocol: rotations restricted to a cone around the
+    native orientation and translations to ``decoy_max_shift`` Angstrom
+    around the native placement (the bound pose defines "native" — the
+    benchmark measures whether scoring re-finds it, cf. the paper's
+    local-docking evaluation).
+    """
+    cfg = pipeline.config
+    kw = {}
+    if cfg.local_cone_deg is not None:
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            native_voxel_shift)
+        kw["rotations"] = pipeline.rotation_set(None)
+        kw["translation_center"] = native_voxel_shift(cplx, cfg.resolution)
+        kw["max_shift"] = cfg.decoy_max_shift
+    poses = pipeline.dock_complex(cplx, **kw)
+    if refine_steps:
+        poses = pipeline.refine(cplx.receptor, cplx.ligand, poses,
+                                steps=refine_steps)
     graded = grade_poses(cplx, poses)
     hits10 = [g for g in graded[:10] if g["capri"] != "incorrect"]
     return {
@@ -76,7 +97,8 @@ def evaluate_complex(pipeline: DockingPipeline, cplx: Complex) -> Dict:
 def run_benchmark(pipeline: DockingPipeline,
                   complexes: Sequence[Complex],
                   out_dir: str,
-                  logger: Optional[MetricsLogger] = None) -> Dict:
+                  logger: Optional[MetricsLogger] = None,
+                  refine_steps: int = 0) -> Dict:
     """Evaluate many complexes with per-complex resume; aggregate hits."""
     os.makedirs(out_dir, exist_ok=True)
     logger = logger or MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
@@ -88,7 +110,8 @@ def run_benchmark(pipeline: DockingPipeline,
                 res = json.load(f)
             logger.log("complex_cached", name=cplx.name)
         else:
-            res = evaluate_complex(pipeline, cplx)
+            res = evaluate_complex(pipeline, cplx,
+                                   refine_steps=refine_steps)
             with open(path + ".tmp", "w") as f:
                 json.dump(res, f)
             os.replace(path + ".tmp", path)  # atomic completion marker

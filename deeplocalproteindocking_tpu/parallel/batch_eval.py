@@ -17,11 +17,10 @@ the benchmark workload.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deeplocalproteindocking_tpu.sweep.docker import DockResult

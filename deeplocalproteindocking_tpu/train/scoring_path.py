@@ -13,7 +13,6 @@ poses with EXACTLY the same model definition the docking sweep uses:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from deeplocalproteindocking_tpu.config import DockConfig
 from deeplocalproteindocking_tpu.correlate.fft import (
