@@ -1,0 +1,75 @@
+"""Pretrained-weights scoring (BASELINE.json configs[1]): the committed
+synthetic checkpoint loads and docks with learned representations."""
+import os
+
+import numpy as np
+import pytest
+
+from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.data import synthetic_complex
+from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+from deeplocalproteindocking_tpu.train import Trainer
+
+CKPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "pretrained", "synthetic-v1")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(CKPT),
+                                reason="no pretrained checkpoint")
+
+
+def _cfg():
+    with open(os.path.join(CKPT, "config.json")) as f:
+        return DockConfig.from_json(f.read())
+
+
+class TestPretrained:
+    def test_restore_and_dock(self):
+        cfg = _cfg()
+        trainer = Trainer(cfg)
+        state = trainer.restore(CKPT)
+        assert int(state.step) > 0
+        pipe = DockingPipeline(config=cfg.replace(num_rotations=8,
+                                                  rotation_chunk=4,
+                                                  top_k=8))
+        pipe.params = state.params
+        cplx = synthetic_complex(seed=99, n_res_rec=10, n_res_lig=5)
+        poses = pipe.dock_complex(cplx, cluster=False)
+        assert np.isfinite(poses.scores).all()
+        assert len(poses) == 8
+
+    def test_trained_ranks_better_than_random(self):
+        # On a held-out synthetic complex the trained model should rank
+        # the native above random decoys far better than random init.
+        import jax
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            make_training_batch)
+        from deeplocalproteindocking_tpu.train.losses import (
+            pairwise_ranking_accuracy)
+        from deeplocalproteindocking_tpu.train.scoring_path import (
+            complex_scores)
+        cfg = _cfg()
+        trainer = Trainer(cfg)
+        trained = trainer.restore(CKPT).params
+        random_p = trainer.init_state(seed=7).params
+        cplxs = [synthetic_complex(seed=s, n_res_rec=10, n_res_lig=5)
+                 for s in (101, 102, 103)]   # unseen seeds
+        batch = make_training_batch(jax.random.key(5), cplxs, cfg)
+
+        def acc(params):
+            vals = []
+            for b in range(batch.rec_coords.shape[0]):
+                s = complex_scores(
+                    trainer.model, cfg, params,
+                    batch.rec_coords[b], batch.rec_types[b],
+                    batch.rec_mask[b], batch.lig_coords[b],
+                    batch.lig_types[b], batch.lig_mask[b],
+                    batch.decoy_rot[b], batch.decoy_shift[b])
+                vals.append(float(pairwise_ranking_accuracy(
+                    s, batch.decoy_lrmsd[b], cfg.near_native_rmsd)))
+            return np.mean(vals)
+
+        a_trained, a_random = acc(trained), acc(random_p)
+        # 100 quick CPU steps on 10 complexes: expect a modest but real
+        # held-out improvement (measured 0.72 vs 0.61 at commit time).
+        assert a_trained > a_random + 0.05, (a_trained, a_random)
+        assert a_trained > 0.65, a_trained
