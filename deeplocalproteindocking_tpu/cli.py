@@ -142,13 +142,21 @@ def cmd_train(args):
         print(f"resumed from step {int(state.step)}")
     else:
         state = trainer.init_state()
+    step_fn = trainer.train_step
+    if cfg.mesh_rot > 1 or cfg.mesh_batch > 1:
+        from deeplocalproteindocking_tpu.parallel import (
+            make_mesh, make_parallel_train_step)
+        mesh = make_mesh(rot=cfg.mesh_rot, batch=cfg.mesh_batch)
+        step_fn = make_parallel_train_step(trainer, mesh)
+        print(f"multi-chip training on mesh (rot={cfg.mesh_rot}, "
+              f"batch={cfg.mesh_batch})")
     complexes = _load_complexes(args)
     logger = MetricsLogger(os.path.join(args.ckpt_dir, "train.jsonl"))
     key = state.key
     for step in range(int(state.step), args.steps):
         key, k_batch = jax.random.split(key)
         batch = make_training_batch(k_batch, complexes, cfg)
-        state, metrics = trainer.train_step(state, batch)
+        state, metrics = step_fn(state, batch)
         logger.log("train_step", step=step, **metrics)
         if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
             trainer.save(args.ckpt_dir, state)

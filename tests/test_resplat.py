@@ -247,3 +247,32 @@ class TestRefine:
                                shift.astype(jnp.float32),
                                _identity_rep, **kw)
         np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+class TestSE3Consistency:
+    def test_joint_rotation_invariance_shape_mode(self):
+        # Rotating BOTH receptor and ligand by the same R permutes the
+        # score landscape but preserves the best score (up to grid
+        # effects); exact for 90-degree lattice rotations.
+        L = 16
+        coords_r, types_r, mask_r = _atoms(n=10, seed=5, spread=2.5)
+        coords_l, types_l, mask_l = _atoms(n=8, seed=6, spread=2.0)
+        R = axis_angle_to_matrix(jnp.array([0.0, 0.0, 1.0]),
+                                 jnp.array(np.pi / 2))
+        kw = dict(grid_size=L, lig_grid=12, resolution=1.0, sigma=1.0,
+                  num_types=4, top_k=1, chunk=1)
+
+        def best(rc, lc):
+            rec = separable_splat(rc, types_r, mask_r, grid_size=L,
+                                  resolution=1.0, num_types=4)
+            H = receptor_transform(rec)
+            res = dock_sweep_resplat(H, lc, types_l, mask_l,
+                                     jnp.eye(3)[None], _identity_rep,
+                                     **kw)
+            return float(res.scores[0]), np.asarray(res.shifts[0])
+
+        s0, t0 = best(coords_r, coords_l)
+        s1, t1 = best(rotate(coords_r, R), rotate(coords_l, R))
+        np.testing.assert_allclose(s1, s0, rtol=1e-3)
+        # Best translation rotates with the frame.
+        np.testing.assert_allclose(np.asarray(R) @ t0, t1, atol=0.51)
