@@ -177,15 +177,26 @@ class DockingPipeline:
         rep_rec, rep_lig, coupling = self.representations(rec_vol, lig_vol)
         if rotations is None:
             rotations = self.rotation_set()
+        from deeplocalproteindocking_tpu.correlate.fft import (
+            translation_mask)
+        # Wraparound guard: circular correlation aliases any pose whose
+        # shifted ligand leaves the box; |t| is capped so the ligand's
+        # bounding extent stays in-bounds (SURVEY.md §7 hard part 3).
+        lig_half_vox = int(np.ceil(
+            (np.abs(lig_c.typed().coords).max() + 3.0 * cfg.sigma)
+            / cfg.resolution))
+        wrap_cap = max(1, cfg.grid_size // 2 - lig_half_vox)
         score_mask = None
+        if wrap_cap < cfg.grid_size // 2:
+            score_mask = translation_mask(cfg.grid_size, wrap_cap)
         if max_shift is not None:
-            from deeplocalproteindocking_tpu.correlate.fft import (
-                translation_mask)
             center = (None if translation_center is None
                       else jnp.asarray(translation_center, jnp.int32))
-            score_mask = translation_mask(
+            local = translation_mask(
                 cfg.grid_size, int(round(max_shift / cfg.resolution)),
                 center)
+            score_mask = local if score_mask is None else (
+                score_mask & local)
         if cfg.sweep_mode == "resplat":
             from deeplocalproteindocking_tpu.correlate.fft import (
                 receptor_transform)
