@@ -1,0 +1,44 @@
+"""CLI smoke tests (reference P10) — full command flows on tiny configs."""
+import json
+import os
+
+from deeplocalproteindocking_tpu.cli import main
+
+
+class TestCLI:
+    def test_generate_dock_evaluate(self, tmp_path):
+        db = str(tmp_path / "db")
+        main(["generate-dataset", "--out", db, "--num-complexes", "2"])
+        assert len(os.listdir(db)) == 4
+
+        poses = str(tmp_path / "poses")
+        main(["dock", "--receptor", f"{db}/synth0_r_u.pdb",
+              "--ligand", f"{db}/synth0_l_u.pdb", "--out", poses,
+              "--grid-size", "32", "--num-rotations", "8",
+              "--top-k", "8", "--num-out", "2"])
+        table = json.load(open(os.path.join(poses, "poses.json")))
+        assert len(table) >= 1 and "score" in table[0]
+        assert os.path.exists(os.path.join(poses, "pose_000.pdb"))
+
+        out = str(tmp_path / "bench")
+        main(["evaluate", "--synthetic", "1", "--out", out,
+              "--grid-size", "32", "--num-rotations", "8",
+              "--top-k", "8"])
+        summary = json.load(open(os.path.join(out, "summary.json")))
+        assert summary["num_complexes"] == 1
+
+    def test_train_and_dock_with_checkpoint(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        main(["train", "--ckpt-dir", ckpt, "--steps", "2",
+              "--synthetic", "2", "--grid-size", "32",
+              "--resolution", "2.0", "--ckpt-every", "2"])
+        assert any(d.startswith("step_") for d in os.listdir(ckpt))
+        db = str(tmp_path / "db")
+        main(["generate-dataset", "--out", db, "--num-complexes", "1"])
+        poses = str(tmp_path / "poses2")
+        main(["dock", "--receptor", f"{db}/synth0_r_u.pdb",
+              "--ligand", f"{db}/synth0_l_u.pdb", "--out", poses,
+              "--checkpoint", ckpt, "--grid-size", "32",
+              "--resolution", "2.0",
+              "--num-rotations", "4", "--top-k", "4"])
+        assert os.path.exists(os.path.join(poses, "poses.json"))
