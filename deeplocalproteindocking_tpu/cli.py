@@ -25,7 +25,7 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--mesh-rot", type=int, default=None)
     p.add_argument("--sweep-mode", default=None,
                    choices=["resplat", "resample"])
-    p.add_argument("--fft-impl", default=None, choices=["dft", "xla"])
+    p.add_argument("--fft-impl", default=None, choices=["dft", "dft_pallas", "xla"])
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2)")
     p.add_argument("--profile", default=None,

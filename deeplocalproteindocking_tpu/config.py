@@ -34,6 +34,7 @@ class DockConfig:
                                   # | "resample" (reference-style rep rotation)
     lig_grid_size: Optional[int] = None  # ligand box; None = auto-fit
     fft_impl: str = "dft"         # "dft" (matmul-DFT on the MXU)
+                                  # | "dft_pallas" (fused Pallas inverse)
                                   # | "xla" (jnp.fft)
     dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
     top_k: int = 32               # poses kept per complex

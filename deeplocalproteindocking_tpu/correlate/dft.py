@@ -117,7 +117,7 @@ class DFTCorrelator:
         return fre, fim
 
     def scores(self, Hre: jax.Array, Him: jax.Array,
-               vols: jax.Array) -> jax.Array:
+               vols: jax.Array, inverse_impl: str = "einsum") -> jax.Array:
         """Correlation score volumes ``[B, L, L, L]``.
 
         ``Hre/Him``: coupled receptor spectrum ``[L, L, L//2+1, C]``
@@ -138,6 +138,16 @@ class DFTCorrelator:
                           preferred_element_type=f32)
                - jnp.einsum("ijkc,bijkc->bijk", Hre_, fim,
                             preferred_element_type=f32))
+        if inverse_impl == "pallas":
+            from deeplocalproteindocking_tpu.correlate.pallas_idft import (
+                correlator_pallas_inverse)
+            return correlator_pallas_inverse(self, gre, gim)
+        return self.inverse(gre, gim)
+
+    def inverse(self, gre: jax.Array, gim: jax.Array) -> jax.Array:
+        """irfftn of the summed spectrum ``G (re, im) [B, L, L, L/2+1]``
+        as three axis contractions -> real ``[B, L, L, L]``."""
+        f32 = jnp.float32
         gre, gim = self._cast(gre, gim)
         UxRe, UxIm, UyRe, UyIm, MzRe, MzIm = self._cast(
             self.UxRe, self.UxIm, self.UyRe, self.UyIm, self.MzRe,

@@ -156,10 +156,12 @@ def dock_sweep_resplat(H: jax.Array,
 
 def _correlate_batch(H, reps, grid_size, fft_impl, dft_dtype):
     """Score volumes ``[B, L, L, L]`` for small-box reps (either engine)."""
-    if fft_impl == "dft":
+    if fft_impl in ("dft", "dft_pallas"):
         corr = get_correlator(grid_size, reps.shape[-2], dft_dtype)
+        inverse_impl = "pallas" if fft_impl == "dft_pallas" else "einsum"
         return corr.scores(H.real.astype(jnp.float32),
-                           H.imag.astype(jnp.float32), reps)
+                           H.imag.astype(jnp.float32), reps,
+                           inverse_impl=inverse_impl)
     big = embed_small(reps, grid_size)
     return jax.vmap(lambda v: correlate_scores(H, v))(big)
 
