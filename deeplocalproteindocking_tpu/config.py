@@ -37,6 +37,7 @@ class DockConfig:
                                   # | "dft_pallas" (fused Pallas inverse)
                                   # | "xla" (jnp.fft)
     dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
+    topk_impl: str = "exact"      # "approx" = lax.approx_max_k (faster)
     top_k: int = 32               # poses kept per complex
     local_cone_deg: Optional[float] = None  # local docking: cone half-angle
     nms_rmsd: float = 5.0         # greedy clustering suppression radius (A)

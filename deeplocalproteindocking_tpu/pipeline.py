@@ -211,7 +211,8 @@ class DockingPipeline:
                       resolution=cfg.resolution, sigma=cfg.sigma,
                       num_types=cfg.num_atom_types, top_k=cfg.top_k,
                       chunk=cfg.rotation_chunk, score_mask=score_mask,
-                      fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype)
+                      fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype,
+                      topk_impl=cfg.topk_impl)
             if self.mesh is not None:
                 from deeplocalproteindocking_tpu.parallel.sharded_sweep \
                     import sharded_dock_sweep_resplat

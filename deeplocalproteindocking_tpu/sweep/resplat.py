@@ -71,7 +71,7 @@ def embed_small(rep_small: jax.Array, grid_size: int) -> jax.Array:
     jax.jit,
     static_argnames=("rep_fn", "grid_size", "lig_grid", "resolution",
                      "sigma", "num_types", "top_k", "chunk", "fft_impl",
-                     "dft_dtype"),
+                     "dft_dtype", "topk_impl"),
 )
 def dock_sweep_resplat(H: jax.Array,
                        lig_coords: jax.Array,
@@ -90,7 +90,8 @@ def dock_sweep_resplat(H: jax.Array,
                        score_mask: Optional[jax.Array] = None,
                        num_valid: Optional[jax.Array] = None,
                        fft_impl: str = "dft",
-                       dft_dtype: str = "float32") -> DockResult:
+                       dft_dtype: str = "float32",
+                       topk_impl: str = "exact") -> DockResult:
     """Full rotation sweep with per-rotation coordinate re-splatting.
 
     ``H`` is the coupled receptor spectrum (correlate/fft.py);
@@ -132,7 +133,12 @@ def dock_sweep_resplat(H: jax.Array,
             S = jnp.where(score_mask[None], S, neg_inf)
         Sf = S.reshape(chunk, L * L * L)
         with jax.named_scope("streaming_topk"):
-            vals, flat = jax.lax.top_k(Sf, top_k)
+            if topk_impl == "approx":
+                # TPU-optimized approximate top-k (recall ~0.95 at
+                # default settings); candidates are re-merged exactly.
+                vals, flat = jax.lax.approx_max_k(Sf, top_k)
+            else:
+                vals, flat = jax.lax.top_k(Sf, top_k)
         rot_ids = base + jnp.arange(chunk, dtype=jnp.int32)
         valid = rot_ids < num_valid
         vals = jnp.where(valid[:, None], vals, neg_inf)
