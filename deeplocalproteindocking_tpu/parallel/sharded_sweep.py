@@ -14,7 +14,6 @@ sharding of the complex dimension; see evaluation.py.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -145,13 +144,3 @@ def sharded_dock_sweep_resplat(mesh: Mesh,
         check_vma=False)
     n_valid = jnp.asarray(n_rot, dtype=jnp.int32)
     return mapped(H, lig_coords, lig_types, lig_mask, rotations, n_valid)
-
-
-def jit_sharded_dock_sweep(mesh: Mesh, *, top_k: int, chunk: int):
-    """Jitted closure over the mesh/static args (compile once per shape)."""
-    @functools.partial(jax.jit, static_argnames=())
-    def fn(rec_rep, lig_rep, rotations, coupling=None, score_mask=None):
-        return sharded_dock_sweep(mesh, rec_rep, lig_rep, rotations,
-                                  coupling, top_k=top_k, chunk=chunk,
-                                  score_mask=score_mask)
-    return fn

@@ -102,3 +102,11 @@ class TestCorrelate:
         fd = (f(lig + eps * e) - f(lig - eps * e)) / (2 * eps)
         np.testing.assert_allclose(float((g * e).sum()), float(fd),
                                    rtol=5e-2, atol=1e-3)
+
+    def test_translation_mask_center_wraps(self):
+        # Center near the signed boundary: circular distance applies.
+        m = translation_mask(16, 2, jnp.array([7, 0, 0]))
+        assert bool(m[7, 0, 0]) and bool(m[5, 0, 0])
+        # 9 maps to signed shift -7... circular distance |(-7)-7| -> 2
+        assert bool(m[np.mod(9, 16), 0, 0])
+        assert not bool(m[2, 0, 0])

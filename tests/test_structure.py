@@ -154,3 +154,17 @@ class TestSplits:
         sp3 = split_benchmark(codes + ["zzz"])
         for n in ("train", "val", "test"):
             assert set(sp[n]) <= set(sp3[n])
+
+
+class TestDeviceArrays:
+    def test_structure_to_device_padding_and_overflow(self):
+        from deeplocalproteindocking_tpu.data.benchmark import (
+            structure_to_device)
+        c = synthetic_complex(seed=0, n_res_rec=5, n_res_lig=3)
+        n = len(c.receptor.typed())
+        coords, types, mask = structure_to_device(c.receptor, n + 4)
+        assert coords.shape == (n + 4, 3)
+        assert float(mask.sum()) == n
+        assert int(types[-1]) == -1
+        with pytest.raises(ValueError):
+            structure_to_device(c.receptor, n - 1)
