@@ -119,3 +119,23 @@ class TestEndToEnd:
         # result is re-ranked descending.
         assert refined.scores[0] >= poses.scores[0] - 1e-3
         assert np.all(np.diff(refined.scores) <= 1e-5)
+
+    def test_batched_benchmark_matches_loop(self, tmp_path):
+        from deeplocalproteindocking_tpu.evaluation import (
+            run_benchmark, run_benchmark_batched)
+        cfg = small_config(grid_size=32, num_rotations=8, top_k=8)
+        pipe = DockingPipeline(config=cfg)
+        cplxs = [synthetic_complex(seed=s, n_res_rec=8, n_res_lig=4)
+                 for s in (30, 31, 32)]
+        s_loop = run_benchmark(pipe, cplxs, str(tmp_path / "loop"))
+        s_batch = run_benchmark_batched(pipe, cplxs,
+                                        str(tmp_path / "batch"),
+                                        group_size=2)
+        assert s_batch["num_complexes"] == s_loop["num_complexes"]
+        # Hit rates agree (identical sweep; shared lig_grid may shuffle
+        # tie-order inside a group but not hit classification).
+        assert s_batch["top10_hit_rate"] == s_loop["top10_hit_rate"]
+        # Resume: second call recomputes nothing.
+        s2 = run_benchmark_batched(pipe, cplxs, str(tmp_path / "batch"),
+                                   group_size=2)
+        assert s2 == s_batch
