@@ -117,14 +117,19 @@ def _load_complexes(args):
 
 
 def cmd_evaluate(args):
-    from deeplocalproteindocking_tpu.evaluation import run_benchmark
+    from deeplocalproteindocking_tpu.evaluation import (
+        run_benchmark, run_benchmark_batched)
     from deeplocalproteindocking_tpu.utils.profiling import maybe_trace
     cfg = _build_config(args)
     pipe = _build_pipeline(cfg, args.checkpoint)
     complexes = _load_complexes(args)
     with maybe_trace(args.profile):
-        summary = run_benchmark(pipe, complexes, args.out,
-                                refine_steps=args.refine_steps)
+        if args.batch_size > 1:
+            summary = run_benchmark_batched(pipe, complexes, args.out,
+                                            group_size=args.batch_size)
+        else:
+            summary = run_benchmark(pipe, complexes, args.out,
+                                    refine_steps=args.refine_steps)
     print(json.dumps(summary, indent=2))
 
 
@@ -202,6 +207,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--refine-steps", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1: dock complex groups as one program "
+                        "(throughput mode, configs[4])")
     _add_config_args(p)
     p.set_defaults(fn=cmd_evaluate)
 
