@@ -50,6 +50,9 @@ class DockConfig:
     decoy_max_shift: float = 12.0  # Angstrom
     learning_rate: float = 1e-3
     batch_complexes: int = 2      # complexes per train step
+    augment_rotations: bool = True  # joint SO(3) augmentation per sample
+                                    # (the reference's EQ models rely on
+                                    # rotational augmentation [P])
 
     # --- mesh (NEW vs reference: it was single-GPU, SURVEY.md §2.3) ---
     mesh_rot: int = 1             # devices along the rotation axis

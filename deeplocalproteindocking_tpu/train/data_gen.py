@@ -56,8 +56,21 @@ def make_training_batch(key: jax.Array,
         rc, rt, rm = structure_to_device(cplx.receptor.centered(),
                                          max_atoms)
         lc, lt, lm = structure_to_device(cplx.ligand.centered(), max_atoms)
+        nat_f = (cplx.ligand.center - cplx.receptor.center) / cfg.resolution
+        if cfg.augment_rotations:
+            # Joint rotation of the whole complex: the reference's EQ
+            # models get rotational robustness from augmentation, not
+            # architecture.  Rotating (rec, lig, native shift) together
+            # preserves all LRMSD labels exactly.
+            key, k_r = jax.random.split(key)
+            from deeplocalproteindocking_tpu.structure.transforms import (
+                random_rotations, rotate)
+            R0 = random_rotations(k_r, 1)[0]
+            rc = rotate(rc, R0) * rm[:, None]
+            lc = rotate(lc, R0) * lm[:, None]
+            nat_f = np.asarray(R0) @ np.asarray(nat_f)
+        nat = jnp.asarray(np.round(np.asarray(nat_f)).astype(np.int32))
         key, k_d = jax.random.split(key)
-        nat = jnp.asarray(native_voxel_shift(cplx, cfg.resolution))
         dec = generate_decoys(
             k_d, lc, lm, nat, n=cfg.num_decoys,
             resolution=cfg.resolution,

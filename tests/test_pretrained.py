@@ -54,7 +54,10 @@ class TestPretrained:
         random_p = trainer.init_state(seed=7).params
         cplxs = [synthetic_complex(seed=s, n_res_rec=10, n_res_lig=5)
                  for s in (101, 102, 103)]   # unseen seeds
-        batch = make_training_batch(jax.random.key(5), cplxs, cfg)
+        # Evaluation batches are not augmented (and these checkpoints
+        # predate joint-rotation augmentation).
+        eval_cfg = cfg.replace(augment_rotations=False)
+        batch = make_training_batch(jax.random.key(5), cplxs, eval_cfg)
 
         def acc(params):
             vals = []
