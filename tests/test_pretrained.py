@@ -87,3 +87,38 @@ class TestPretrained:
         # v2 was TPU-trained with held-out early stopping: ranking
         # accuracy 0.88 vs 0.33 random at commit time (train logs in
         # pretrained/synthetic-v2/train.jsonl).
+
+    @pytest.mark.skipif(
+        not os.path.isdir(os.path.join(_ROOT, "pretrained",
+                                       "synthetic-v3")),
+        reason="no v3 ckpt")
+    def test_v3_rotation_robust(self):
+        # v3 was trained WITH joint SO(3) augmentation: it must keep
+        # ranking decoys well on randomly-rotated held-out complexes,
+        # where the unaugmented v2 degrades (the reference's EQ models
+        # get rotational behavior from augmentation, not architecture).
+        import jax
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            make_training_batch)
+        from deeplocalproteindocking_tpu.train.losses import (
+            pairwise_ranking_accuracy)
+        from deeplocalproteindocking_tpu.train.scoring_path import (
+            complex_scores)
+        ckpt = os.path.join(_ROOT, "pretrained", "synthetic-v3")
+        cfg = _cfg(ckpt).replace(augment_rotations=True)
+        trainer = Trainer(cfg)
+        params = trainer.restore(ckpt).params
+        cplxs = [synthetic_complex(seed=s, n_res_rec=14, n_res_lig=7)
+                 for s in (301, 302)]
+        batch = make_training_batch(jax.random.key(11), cplxs, cfg)
+        vals = []
+        for b in range(batch.rec_coords.shape[0]):
+            s = complex_scores(
+                trainer.model, cfg, params,
+                batch.rec_coords[b], batch.rec_types[b],
+                batch.rec_mask[b], batch.lig_coords[b],
+                batch.lig_types[b], batch.lig_mask[b],
+                batch.decoy_rot[b], batch.decoy_shift[b])
+            vals.append(float(pairwise_ranking_accuracy(
+                s, batch.decoy_lrmsd[b], cfg.near_native_rmsd)))
+        assert np.mean(vals) > 0.6, vals
