@@ -53,8 +53,10 @@ def grade_poses(cplx: Complex, poses: PoseSet) -> List[Dict]:
 
 def _dense_res_ids(s) -> np.ndarray:
     """Per-atom residue ids compressed to dense [0, n_res)."""
+    icodes = (s.icodes if s.icodes is not None
+              else np.full(len(s.res_ids), "", dtype="<U1"))
     _, dense = np.unique(
-        np.stack([s.chain_ids, s.res_ids.astype(str)], axis=1),
+        np.stack([s.chain_ids, s.res_ids.astype(str), icodes], axis=1),
         axis=0, return_inverse=True)
     return dense.astype(np.int32)
 

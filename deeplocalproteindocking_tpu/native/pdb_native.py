@@ -34,7 +34,7 @@ def _load():
     lib.pdb_parse.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_char_p,
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_char_p]
     return lib
 
 
@@ -55,12 +55,13 @@ def parse_pdb(path: str, include_hetatm: bool = False):
     atom_raw = ctypes.create_string_buffer(max(4 * n, 4))
     res_raw = ctypes.create_string_buffer(max(3 * n, 3))
     chain_raw = ctypes.create_string_buffer(max(n, 1))
+    icode_raw = ctypes.create_string_buffer(max(n, 1))
     res_ids = np.zeros(n, dtype=np.int32)
     got = _lib.pdb_parse(
         path.encode(), het, n,
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         atom_raw, res_raw, chain_raw,
-        res_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        res_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), icode_raw)
     if got != n:
         raise IOError(f"parse mismatch in {path}: {got} != {n}")
     atom_names = np.char.strip(
@@ -69,6 +70,8 @@ def parse_pdb(path: str, include_hetatm: bool = False):
         np.frombuffer(res_raw.raw[:3 * n], dtype="S3").astype("<U3"))
     chain_ids = np.frombuffer(
         chain_raw.raw[:n], dtype="S1").astype("<U1")
+    icodes = np.char.strip(np.frombuffer(
+        icode_raw.raw[:n], dtype="S1").astype("<U1"))
     return Structure(
         coords=coords,
         atom_names=atom_names,
@@ -76,4 +79,5 @@ def parse_pdb(path: str, include_hetatm: bool = False):
         res_ids=res_ids,
         chain_ids=chain_ids,
         types=assign_atom_types(res_names, atom_names),
+        icodes=icodes,
     )

@@ -33,6 +33,11 @@ class Structure:
     res_ids: np.ndarray       # int32 [N]
     chain_ids: np.ndarray     # <U1 [N]
     types: np.ndarray         # int32 [N], 11-type class, -1 = untyped
+    icodes: np.ndarray = None  # <U1 [N] insertion codes ('' if absent)
+
+    def __post_init__(self):
+        if self.icodes is None:
+            self.icodes = np.full(len(self.coords), "", dtype="<U1")
 
     def __len__(self) -> int:
         return int(self.coords.shape[0])
@@ -61,23 +66,25 @@ class Structure:
 
 def _parse_atom_line(line: str):
     # PDB fixed columns (1-based): 13-16 atom name, 18-20 res name,
-    # 22 chain, 23-26 res seq, 31-38/39-46/47-54 x/y/z, 17 altloc.
+    # 22 chain, 23-26 res seq, 27 insertion code,
+    # 31-38/39-46/47-54 x/y/z, 17 altloc.
     altloc = line[16]
     if altloc not in (" ", "A"):
         return None
     name = line[12:16].strip()
     res = line[17:20].strip()
     chain = line[21]
+    icode = line[26].strip() if len(line) > 26 else ""
     try:
         res_id = int(line[22:26])
         x = float(line[30:38]); y = float(line[38:46]); z = float(line[46:54])
     except ValueError:
         return None
-    return name, res, chain, res_id, x, y, z
+    return name, res, chain, res_id, icode, x, y, z
 
 
 def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
-    names, ress, chains, rids, xyz = [], [], [], [], []
+    names, ress, chains, rids, icds, xyz = [], [], [], [], [], []
     for line in text.splitlines():
         rec = line[:6]
         if rec == "ENDMDL":  # first NMR model only
@@ -86,9 +93,9 @@ def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
             parsed = _parse_atom_line(line)
             if parsed is None:
                 continue
-            name, res, chain, res_id, x, y, z = parsed
+            name, res, chain, res_id, icode, x, y, z = parsed
             names.append(name); ress.append(res); chains.append(chain)
-            rids.append(res_id); xyz.append((x, y, z))
+            rids.append(res_id); icds.append(icode); xyz.append((x, y, z))
     coords = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)
     atom_names = np.asarray(names, dtype="<U4")
     res_names = np.asarray(ress, dtype="<U3")
@@ -100,6 +107,7 @@ def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
         res_ids=np.asarray(rids, dtype=np.int32),
         chain_ids=np.asarray(chains, dtype="<U1"),
         types=types,
+        icodes=np.asarray(icds, dtype="<U1"),
     )
 
 
@@ -119,9 +127,10 @@ def write_pdb(path: str | os.PathLike, s: Structure) -> None:
             # PDB alignment rule: 1/2-char element names start in col 14.
             pname = f" {name:<3s}" if len(name) < 4 else name
             x, y, z = s.coords[i]
+            icode = s.icodes[i] if s.icodes is not None else ""
             f.write(
                 f"ATOM  {i + 1:5d} {pname}{'':1s}{s.res_names[i]:>3s} "
-                f"{s.chain_ids[i]:1s}{int(s.res_ids[i]):4d}    "
+                f"{s.chain_ids[i]:1s}{int(s.res_ids[i]):4d}{icode:1s}   "
                 f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}\n")
         f.write("END\n")
 

@@ -28,6 +28,7 @@ struct Atom {
   char atom_name[5];  // trimmed, NUL-terminated
   char res_name[4];
   char chain;
+  char icode;         // insertion code (col 27), ' ' if none
   int res_id;
 };
 
@@ -94,6 +95,7 @@ bool parse_atoms(const char* path, int include_hetatm,
     trim_into(line, 12, 4, a.atom_name, sizeof a.atom_name);
     trim_into(line, 17, 3, a.res_name, sizeof a.res_name);
     a.chain = line[21];
+    a.icode = len > 26 ? line[26] : ' ';
     out->push_back(a);
   }
   fclose(f);
@@ -117,10 +119,11 @@ int pdb_count_atoms(const char* path, int include_hetatm) {
 //   res_names  char    [capacity * 3]
 //   chain_ids  char    [capacity]
 //   res_ids    int32   [capacity]
+//   icodes     char    [capacity]  (' ' when absent)
 // Returns the number of atoms written, or -1 on error.
 int pdb_parse(const char* path, int include_hetatm, int capacity,
               float* coords, char* atom_names, char* res_names,
-              char* chain_ids, int* res_ids) {
+              char* chain_ids, int* res_ids, char* icodes) {
   std::vector<Atom> atoms;
   if (!parse_atoms(path, include_hetatm, &atoms)) return -1;
   int n = (int)atoms.size();
@@ -134,6 +137,7 @@ int pdb_parse(const char* path, int include_hetatm, int capacity,
     memcpy(res_names + 3 * i, a.res_name, strlen(a.res_name));
     chain_ids[i] = a.chain;
     res_ids[i] = a.res_id;
+    icodes[i] = a.icode;
   }
   return n;
 }

@@ -55,3 +55,20 @@ class TestNativeParser:
         write_pdb(p, c.ligand)
         s = parse_pdb(p)
         assert len(s) == len(c.ligand)
+
+    def test_insertion_codes(self, tmp_path):
+        text = (
+            "ATOM      1  CA  MET A  10      1.000   2.000   3.000"
+            "  1.00  0.00\n"
+            "ATOM      2  CA  GLY A  10A     4.000   5.000   6.000"
+            "  1.00  0.00\n")
+        p = tmp_path / "ic.pdb"
+        p.write_text(text)
+        slow = parse_pdb_text(text)
+        fast = pdb_native.parse_pdb(str(p))
+        assert list(slow.icodes) == ["", "A"]
+        assert list(fast.icodes) == ["", "A"]
+        assert list(slow.res_ids) == [10, 10]
+        # residue identity separates on the insertion code
+        from deeplocalproteindocking_tpu.evaluation import _dense_res_ids
+        assert len(set(_dense_res_ids(slow))) == 2
