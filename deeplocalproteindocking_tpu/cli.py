@@ -73,6 +73,10 @@ def cmd_dock(args):
     pipe = _build_pipeline(cfg, args.checkpoint)
     rec = parse_pdb(args.receptor).typed()
     lig = parse_pdb(args.ligand).typed()
+    if args.receptor_chains:
+        rec = rec.chains(list(args.receptor_chains))
+    if args.ligand_chains:
+        lig = lig.chains(list(args.ligand_chains))
     with maybe_trace(args.profile):
         poses = pipe.dock(rec, lig)
         if args.refine_steps:
@@ -189,6 +193,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num-out", type=int, default=10)
+    p.add_argument("--receptor-chains", default="",
+                   help="chain letters to keep, e.g. 'AB'")
+    p.add_argument("--ligand-chains", default="")
     p.add_argument("--refine-steps", type=int, default=0,
                    help="continuous pose refinement iterations")
     _add_config_args(p)
