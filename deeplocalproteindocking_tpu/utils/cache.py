@@ -12,9 +12,13 @@ import os
 
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                  "/root/.cache/jax_comp")
     try:
+        # TPU only: CPU AOT artifacts are machine-feature specific and a
+        # cache shared across hosts can SIGILL on load.
+        if jax.default_backend() != "tpu":
+            return
+        path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                      "/root/.cache/jax_comp")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
