@@ -113,3 +113,17 @@ class TestPoseCluster:
                       [9.0, 9.0, 0.5, 0.0]])
         keep = nms_cluster(scores, D, radius=2.0)
         assert list(keep) == [0, 2]
+
+    def test_nms_max_out(self):
+        scores = np.array([5.0, 4.0, 3.0, 2.0])
+        D = np.full((4, 4), 9.0)
+        np.fill_diagonal(D, 0.0)
+        keep = nms_cluster(scores, D, radius=1.0, max_out=2)
+        assert list(keep) == [0, 1]
+
+    def test_nms_skips_nonfinite(self):
+        scores = np.array([np.inf, 5.0, -np.inf])
+        D = np.full((3, 3), 9.0)
+        np.fill_diagonal(D, 0.0)
+        keep = nms_cluster(scores, D, radius=1.0)
+        assert 1 in keep and 2 not in keep and 0 not in keep

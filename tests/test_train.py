@@ -123,3 +123,31 @@ class TestTrainer:
         s = native_voxel_shift(c, 1.5)
         want = np.round((c.ligand.center - c.receptor.center) / 1.5)
         np.testing.assert_array_equal(s, want.astype(np.int32))
+
+
+class TestRankingAccuracy:
+    def test_accuracy_values(self):
+        import jax.numpy as jnp
+        from deeplocalproteindocking_tpu.train.losses import (
+            pairwise_ranking_accuracy)
+        scores = jnp.array([3.0, 2.0, 1.0])
+        lrmsd = jnp.array([1.0, 20.0, 30.0])   # first is near-native
+        assert float(pairwise_ranking_accuracy(scores, lrmsd)) == 1.0
+        assert float(pairwise_ranking_accuracy(-scores, lrmsd)) == 0.0
+
+
+class TestAugmentation:
+    def test_labels_invariant_under_augmentation(self):
+        # Joint rotation must not change the decoy LRMSD distribution's
+        # validity: all labels finite, native decoy still ~0.
+        import jax
+        from deeplocalproteindocking_tpu.data import synthetic_complex
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            make_training_batch)
+        cfg = tiny_cfg(augment_rotations=True)
+        cplxs = [synthetic_complex(seed=s, n_res_rec=6, n_res_lig=3)
+                 for s in range(3)]
+        batch = make_training_batch(jax.random.key(3), cplxs, cfg)
+        lr = np.asarray(batch.decoy_lrmsd)
+        assert np.isfinite(lr).all()
+        assert (lr[:, 0] < 1.5).all()   # native decoy, voxel-snap error
