@@ -195,6 +195,25 @@ def score_decoys_resplat(H: jax.Array,
     (BASELINE.json: north_star).  Sequential ``lax.map`` + remat keeps
     reverse-mode memory at one decoy.
     """
+    if fft_impl in ("dft", "dft_pallas"):
+        # Single-pose scores need no inverse transform at all: evaluate
+        # S(t) = sum_k G[k] exp(+2 pi i k.t / L) by three small phase
+        # contractions (sweep/refine.py) — ~2x cheaper per decoy than
+        # materializing the full score volume and gathering one cell.
+        from deeplocalproteindocking_tpu.sweep.refine import (
+            continuous_score)
+
+        @jax.checkpoint
+        def score_one(args):
+            R, sh = args
+            return continuous_score(
+                H, lig_coords, lig_types, lig_mask, R,
+                sh.astype(jnp.float32), rep_fn, grid_size=grid_size,
+                lig_grid=lig_grid, resolution=resolution, sigma=sigma,
+                num_types=num_types)
+
+        return jax.lax.map(score_one, (rotations, shifts))
+
     @jax.checkpoint
     def score_one(args):
         R, s = args
