@@ -54,24 +54,29 @@ def interface_rmsd(rec: jax.Array, lig_native: jax.Array,
 
 def fnat(rec: jax.Array, lig_native: jax.Array, lig_pose: jax.Array,
          rec_res: jax.Array, lig_res: jax.Array,
-         cutoff: float = 5.0) -> jax.Array:
+         cutoff: float = 5.0,
+         num_rec_res: int | None = None,
+         num_lig_res: int | None = None) -> jax.Array:
     """Fraction of native residue-residue contacts recovered by the pose.
 
     ``rec_res``/``lig_res`` are integer residue ids per atom; a residue
     pair is in contact when any heavy-atom pair is within ``cutoff``.
     Implemented with a dense residue-pair contact table via segment-max
-    over atom pairs (static shapes, TPU friendly).
+    over atom pairs (static shapes, TPU friendly).  Pass
+    ``num_rec_res``/``num_lig_res`` to call under jit (otherwise the
+    counts are read from the concrete id arrays on the host).
     """
     c2 = cutoff * cutoff
     nat_atom = _pairwise_sq_dists(rec, lig_native) < c2
     mod_atom = _pairwise_sq_dists(rec, lig_pose) < c2
+    n_rec = num_rec_res if num_rec_res is not None else int(rec_res.max()) + 1
+    n_lig = num_lig_res if num_lig_res is not None else int(lig_res.max()) + 1
 
     # Compress residue ids to dense [0, n) indices.
     def res_contacts(atom_contacts):
         r = jax.ops.segment_max(atom_contacts.astype(jnp.int32), rec_res,
-                                num_segments=int(rec_res.max()) + 1)
-        rl = jax.ops.segment_max(r.T, lig_res,
-                                 num_segments=int(lig_res.max()) + 1)
+                                num_segments=n_rec)
+        rl = jax.ops.segment_max(r.T, lig_res, num_segments=n_lig)
         return rl > 0
 
     nat = res_contacts(nat_atom)
