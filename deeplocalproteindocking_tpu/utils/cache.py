@@ -17,8 +17,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
         # cache shared across hosts can SIGILL on load.
         if jax.default_backend() != "tpu":
             return
-        path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+        # Namespaced per backend so stale CPU-keyed AOT artifacts from
+        # another host can never be loaded here (they carry host CPU
+        # feature flags and risk SIGILL; observed round 1).
+        base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                       "/root/.cache/jax_comp")
+        path = os.path.join(base, jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
