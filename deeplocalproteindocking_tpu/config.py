@@ -25,6 +25,9 @@ class DockConfig:
     # --- representation model (reference: EQRepresentation) ---
     rep_features: Tuple[int, ...] = (32, 32, 16)  # conv widths; last = C_rep
     rep_kernel: int = 3
+    shape_prior: bool = False     # hybrid model: analytic (surface,
+                                  # core) channels ++ learned channels;
+                                  # untrained == shape complementarity
     compute_dtype: str = "float32"   # "bfloat16" for MXU-heavy serving
 
     # --- sweep (reference: EQDocker + rotation sets) ---
@@ -33,8 +36,11 @@ class DockConfig:
     sweep_mode: str = "resplat"   # "resplat" (TPU-fast, exact rotation)
                                   # | "resample" (reference-style rep rotation)
     lig_grid_size: Optional[int] = None  # ligand box; None = auto-fit
-    fft_impl: str = "dft"         # "dft" (matmul-DFT on the MXU)
-                                  # | "dft_pallas" (fused Pallas inverse)
+    fft_impl: str = "dft_fused"   # "dft_fused" (fused Pallas correlator:
+                                  #   forward-y/x + coupling + inverse-x/y
+                                  #   in VMEM — the fast path)
+                                  # | "dft" (pure-einsum matmul-DFT)
+                                  # | "dft_pallas" (fused Pallas inverse only)
                                   # | "xla" (jnp.fft)
     dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
     topk_impl: str = "exact"      # "approx" = lax.approx_max_k (faster)
@@ -48,7 +54,13 @@ class DockConfig:
     near_native_rmsd: float = 5.0  # LRMSD below which a decoy is "positive"
     decoy_max_angle_deg: float = 60.0
     decoy_max_shift: float = 12.0  # Angstrom
+    decoy_global_frac: float = 0.0  # fraction of decoys drawn GLOBALLY
+                                    # (full SO(3) x box-wide shifts) —
+                                    # required for global-docking wins
+    mined_frac: float = 0.25        # fraction replaced by FFT-mined hard
+                                    # negatives when a buffer is supplied
     learning_rate: float = 1e-3
+    weight_decay: float = 0.0     # AdamW decoupled weight decay
     batch_complexes: int = 2      # complexes per train step
     augment_rotations: bool = True  # joint SO(3) augmentation per sample
                                     # (the reference's EQ models rely on

@@ -144,6 +144,49 @@ class DFTCorrelator:
             return correlator_pallas_inverse(self, gre, gim)
         return self.inverse(gre, gim)
 
+    # ---- fused-kernel path (correlate/pallas_fused.py) ----
+    def prep_H(self, H: jax.Array):
+        """Transpose the coupled receptor spectrum ``[i, j, k, c]`` into
+        the fused kernel's ``[k, c, j, i]`` layout.  Once per complex,
+        off the hot path."""
+        Ht = jnp.transpose(H, (2, 3, 1, 0))
+        return (Ht.real.astype(self.dtype), Ht.imag.astype(self.dtype))
+
+    def scores_fused(self, HtRe: jax.Array, HtIm: jax.Array,
+                     vols: jax.Array, interpret: bool = False) -> jax.Array:
+        """Score volumes via the fused Pallas kernel.
+
+        ``HtRe/HtIm`` from :meth:`prep_H`; ``vols [b, Ls, Ls, Ls, C]``.
+        The z forward pass runs in XLA emitting the kernel's
+        ``[b, k, c, x, y]`` layout; the kernel fuses forward-y/x +
+        coupling + inverse-x/y; the Hermitian kz->z inverse is one XLA
+        contraction.
+        """
+        from deeplocalproteindocking_tpu.correlate.pallas_fused import (
+            fused_correlate)
+        f32 = jnp.float32
+        v = vols.astype(self.dtype)
+        WzRe, WzIm, WyRe, WyIm, WxRe, WxIm = self._cast(
+            self.WzRe, self.WzIm, self.WyRe, self.WyIm, self.WxRe,
+            self.WxIm)
+        UxRe, UxIm, UyRe, UyIm, MzRe, MzIm = self._cast(
+            self.UxRe, self.UxIm, self.UyRe, self.UyIm, self.MzRe,
+            self.MzIm)
+        # z: real x complex -> [b, k, c, x, y]
+        are = jnp.einsum("bxyzc,zk->bkcxy", v, WzRe,
+                         preferred_element_type=f32)
+        aim = jnp.einsum("bxyzc,zk->bkcxy", v, WzIm,
+                         preferred_element_type=f32)
+        are, aim = self._cast(are, aim)
+        Dre, Dim = fused_correlate(
+            are, aim, HtRe, HtIm, WyRe, WyIm, WxRe, WxIm,
+            UxRe, UxIm, UyRe, UyIm, interpret=interpret)
+        # Hermitian kz -> z: S = Re{ sum_k D * Mz }
+        return (jnp.einsum("bkxy,kz->bxyz", Dre, MzRe,
+                           preferred_element_type=f32)
+                - jnp.einsum("bkxy,kz->bxyz", Dim, MzIm,
+                             preferred_element_type=f32))
+
     def inverse(self, gre: jax.Array, gim: jax.Array) -> jax.Array:
         """irfftn of the summed spectrum ``G (re, im) [B, L, L, L/2+1]``
         as three axis contractions -> real ``[B, L, L, L]``."""

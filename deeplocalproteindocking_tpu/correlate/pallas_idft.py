@@ -84,6 +84,12 @@ def pallas_inverse(gre: jax.Array, gim: jax.Array,
     """
     f32 = jnp.float32
     B, L = gre.shape[0], gre.shape[1]
+    if L % TX or L % KYB:
+        # Silent remainder rows would produce wrong score volumes.
+        raise ValueError(
+            f"fft_impl='dft_pallas' needs grid_size divisible by "
+            f"{TX} and {KYB}; got {L}. Use fft_impl='dft_fused' or "
+            f"'dft' for this grid size.")
     mzre = jnp.asarray(mzre, f32)
     mzim = jnp.asarray(mzim, f32)
     # Pass A in XLA: kz -> z with the complex Hermitian-weighted Mz.

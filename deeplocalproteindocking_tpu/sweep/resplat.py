@@ -101,8 +101,23 @@ def dock_sweep_resplat(H: jax.Array,
     """
     L = grid_size
     n_rot = rotations.shape[0]
+    if topk_impl == "approx":
+        import warnings
+        warnings.warn(
+            "topk_impl='approx' trades per-rotation top-K set recall "
+            "(measured 43/64 on near-tied shape scores, DESIGN.md) for "
+            "~16% speed; top-1 is preserved but top-10 hit-rates can "
+            "silently change. Use the default 'exact' for reported "
+            "results.", stacklevel=2)
     if num_valid is None:
         num_valid = jnp.asarray(n_rot, dtype=jnp.int32)
+
+    # Fused-kernel engine: transpose/cast the receptor spectrum once,
+    # OUTSIDE the scan (correlate/pallas_fused.py).
+    Ht = None
+    if fft_impl == "dft_fused":
+        corr = get_correlator(L, lig_grid, dft_dtype)
+        Ht = corr.prep_H(H)
 
     pad = (-n_rot) % chunk
     if pad:
@@ -128,7 +143,10 @@ def dock_sweep_resplat(H: jax.Array,
         with jax.named_scope("ligand_cnn"):
             reps = rep_fn(vols)                      # [chunk,Ls,Ls,Ls,C]
         with jax.named_scope("fft_correlate"):
-            S = _correlate_batch(H, reps, L, fft_impl, dft_dtype)
+            if fft_impl == "dft_fused":
+                S = _correlate_fused(Ht, reps, L, lig_grid, dft_dtype)
+            else:
+                S = _correlate_batch(H, reps, L, fft_impl, dft_dtype)
         if score_mask is not None:
             S = jnp.where(score_mask[None], S, neg_inf)
         Sf = S.reshape(chunk, L * L * L)
@@ -138,7 +156,11 @@ def dock_sweep_resplat(H: jax.Array,
                 # default settings); candidates are re-merged exactly.
                 vals, flat = jax.lax.approx_max_k(Sf, top_k)
             else:
-                vals, flat = jax.lax.top_k(Sf, top_k)
+                # Exact two-stage block top-k (sweep/topk.py): same
+                # value multiset as lax.top_k, ~2.4x faster at 128^3.
+                from deeplocalproteindocking_tpu.sweep.topk import (
+                    exact_block_topk)
+                vals, flat = exact_block_topk(Sf, top_k)
         rot_ids = base + jnp.arange(chunk, dtype=jnp.int32)
         valid = rot_ids < num_valid
         vals = jnp.where(valid[:, None], vals, neg_inf)
@@ -158,6 +180,24 @@ def dock_sweep_resplat(H: jax.Array,
         step, init, (rot_chunks, base_ids))
     return DockResult(scores=scores, rot_idx=rot_idx,
                       shifts=flat_index_to_shift(flat_idx, L))
+
+
+def _correlate_fused(Ht, reps, grid_size, lig_grid, dft_dtype):
+    """Score volumes via the fused Pallas kernel on TPU.
+
+    On any other backend (the CPU test mesh) the mathematically
+    identical einsum path runs instead: interpret-mode Pallas executes
+    the kernel per grid cell in Python and is orders of magnitude too
+    slow for full sweeps.  Kernel==einsum equivalence is asserted by
+    tests/test_pallas_fused.py in interpret mode on small shapes.
+    """
+    corr = get_correlator(grid_size, lig_grid, dft_dtype)
+    if jax.default_backend() != "tpu":
+        HtRe, HtIm = Ht
+        Hre = jnp.transpose(HtRe, (3, 2, 0, 1)).astype(jnp.float32)
+        Him = jnp.transpose(HtIm, (3, 2, 0, 1)).astype(jnp.float32)
+        return corr.scores(Hre, Him, reps)
+    return corr.scores_fused(Ht[0], Ht[1], reps)
 
 
 def _correlate_batch(H, reps, grid_size, fft_impl, dft_dtype):
@@ -195,7 +235,7 @@ def score_decoys_resplat(H: jax.Array,
     (BASELINE.json: north_star).  Sequential ``lax.map`` + remat keeps
     reverse-mode memory at one decoy.
     """
-    if fft_impl in ("dft", "dft_pallas"):
+    if fft_impl in ("dft", "dft_fused", "dft_pallas"):
         # Single-pose scores need no inverse transform at all: evaluate
         # S(t) = sum_k G[k] exp(+2 pi i k.t / L) by three small phase
         # contractions (sweep/refine.py) — ~2x cheaper per decoy than
@@ -223,7 +263,8 @@ def score_decoys_resplat(H: jax.Array,
                               sigma=sigma, num_types=num_types)
         rep = rep_fn(vol[None])
         S = _correlate_batch(H, rep, grid_size, fft_impl, dft_dtype)[0]
-        idx = jnp.mod(s, grid_size)
+        # Lattice gather: shifts may be float (augmented mined decoys).
+        idx = jnp.mod(jnp.round(s).astype(jnp.int32), grid_size)
         return S[idx[0], idx[1], idx[2]]
 
     return jax.lax.map(score_one, (rotations, shifts))
