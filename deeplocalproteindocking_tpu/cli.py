@@ -25,7 +25,8 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--mesh-rot", type=int, default=None)
     p.add_argument("--sweep-mode", default=None,
                    choices=["resplat", "resample"])
-    p.add_argument("--fft-impl", default=None, choices=["dft", "dft_pallas", "xla"])
+    p.add_argument("--fft-impl", default=None,
+                   choices=["dft_fused", "dft", "dft_pallas", "xla"])
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2)")
     p.add_argument("--profile", default=None,
@@ -35,6 +36,15 @@ def _add_config_args(p: argparse.ArgumentParser):
 def _build_config(args):
     from deeplocalproteindocking_tpu.config import DockConfig, PRESETS
     cfg = PRESETS[args.preset] if args.preset else DockConfig()
+    # A checkpoint carries the config it was trained with; use it as the
+    # base so scoring semantics (resolution, sigma, grid, model width)
+    # match the weights, then overlay explicit CLI flags.
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt:
+        ckpt_cfg_path = os.path.join(ckpt, "config.json")
+        if os.path.exists(ckpt_cfg_path):
+            with open(ckpt_cfg_path) as f:
+                cfg = DockConfig.from_json(f.read())
     overrides = {k: getattr(args, a) for k, a in [
         ("grid_size", "grid_size"), ("resolution", "resolution"),
         ("num_rotations", "num_rotations"), ("top_k", "top_k"),
@@ -43,6 +53,16 @@ def _build_config(args):
     ] if getattr(args, a, None) is not None}
     if getattr(args, "debug_nans", False):
         overrides["debug_nans"] = True
+    if getattr(args, "global_frac", None) is not None:
+        overrides["decoy_global_frac"] = args.global_frac
+    if ckpt:
+        # Geometry flags change scoring semantics relative to training.
+        for geom in ("resolution", "grid_size"):
+            if geom in overrides and overrides[geom] != getattr(cfg, geom):
+                print(f"warning: --{geom.replace('_', '-')}="
+                      f"{overrides[geom]} differs from the checkpoint's "
+                      f"training value {getattr(cfg, geom)}; scores may "
+                      f"not match training semantics", file=sys.stderr)
     cfg = cfg.replace(**overrides)
     if cfg.debug_nans:
         import jax
@@ -130,7 +150,8 @@ def cmd_evaluate(args):
     with maybe_trace(args.profile):
         if args.batch_size > 1:
             summary = run_benchmark_batched(pipe, complexes, args.out,
-                                            group_size=args.batch_size)
+                                            group_size=args.batch_size,
+                                            refine_steps=args.refine_steps)
         else:
             summary = run_benchmark(pipe, complexes, args.out,
                                     refine_steps=args.refine_steps)
@@ -139,11 +160,13 @@ def cmd_evaluate(args):
 
 def cmd_train(args):
     from deeplocalproteindocking_tpu.train.data_gen import (
-        make_training_batch)
+        fit_lig_grid, make_training_batch)
     from deeplocalproteindocking_tpu.train.trainer import Trainer
     from deeplocalproteindocking_tpu.utils.logging import MetricsLogger
     import jax
     cfg = _build_config(args)
+    complexes = _load_complexes(args)
+    cfg = fit_lig_grid(complexes, cfg)   # auto-size for big ligands
     trainer = Trainer(cfg)
     if args.resume and os.path.isdir(args.ckpt_dir) and any(
             d.startswith("step_") for d in os.listdir(args.ckpt_dir)):
@@ -159,12 +182,20 @@ def cmd_train(args):
         step_fn = make_parallel_train_step(trainer, mesh)
         print(f"multi-chip training on mesh (rot={cfg.mesh_rot}, "
               f"batch={cfg.mesh_batch})")
-    complexes = _load_complexes(args)
     logger = MetricsLogger(os.path.join(args.ckpt_dir, "train.jsonl"))
     key = state.key
+    mined = None
     for step in range(int(state.step), args.steps):
+        if args.mine_every and step % args.mine_every == 0:
+            from deeplocalproteindocking_tpu.train.mining import (
+                mine_hard_negatives)
+            mined = mine_hard_negatives(
+                trainer.model, state.params, cfg, complexes,
+                n_rotations=args.mine_rotations)
+            logger.log("mined_hard_negatives", step=step,
+                       complexes=len(mined))
         key, k_batch = jax.random.split(key)
-        batch = make_training_batch(k_batch, complexes, cfg)
+        batch = make_training_batch(k_batch, complexes, cfg, mined=mined)
         state, metrics = step_fn(state, batch)
         logger.log("train_step", step=step, **metrics)
         if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
@@ -227,6 +258,13 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--ckpt-every", type=int, default=25)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--mine-every", type=int, default=0,
+                   help=">0: refresh FFT-mined hard negatives every N "
+                        "steps (train/mining.py)")
+    p.add_argument("--mine-rotations", type=int, default=256)
+    p.add_argument("--global-frac", type=float, default=None,
+                   help="fraction of decoys sampled globally "
+                        "(config.decoy_global_frac)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_train)
 

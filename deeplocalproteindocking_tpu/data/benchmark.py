@@ -135,11 +135,26 @@ def synthetic_complex(seed: int = 0, n_res_rec: int = 30,
     return Complex(name=f"synth{seed}", receptor=rec, ligand=lig)
 
 
+_STRUCT_EXTS = (".pdb", ".cif", ".mmcif")
+
+
+def _find_structure(root: str, stem: str) -> str:
+    for ext in _STRUCT_EXTS:
+        p = os.path.join(root, stem + ext)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"no {stem}.[pdb|cif|mmcif] in {root}")
+
+
 def load_complex(root: str, code: str, bound: bool = False) -> Complex:
-    """Load a DB4/DB5-style pair ``<code>_r_[ub].pdb`` / ``<code>_l_[ub].pdb``."""
+    """Load a DB4/DB5-style pair ``<code>_r_[ub]`` / ``<code>_l_[ub]``
+    (legacy PDB or PDBx/mmCIF, by extension)."""
+    from deeplocalproteindocking_tpu.structure.mmcif import (
+        parse_structure)
     tag = "b" if bound else "u"
-    rec = parse_pdb(os.path.join(root, f"{code}_r_{tag}.pdb")).typed()
-    lig = parse_pdb(os.path.join(root, f"{code}_l_{tag}.pdb")).typed()
+    rec = parse_structure(_find_structure(root, f"{code}_r_{tag}")).typed()
+    lig = parse_structure(_find_structure(root, f"{code}_l_{tag}")).typed()
     return Complex(name=code, receptor=rec, ligand=lig)
 
 
@@ -147,7 +162,9 @@ def list_benchmark(root: str) -> List[str]:
     """Complex codes present in a benchmark directory."""
     codes = set()
     for fn in os.listdir(root):
-        if fn.endswith("_r_u.pdb") or fn.endswith("_r_b.pdb"):
+        stem, ext = os.path.splitext(fn)
+        if ext in _STRUCT_EXTS and (stem.endswith("_r_u")
+                                    or stem.endswith("_r_b")):
             codes.add(fn.split("_")[0])
     return sorted(codes)
 

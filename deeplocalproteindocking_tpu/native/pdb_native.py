@@ -3,7 +3,9 @@
 Loaded lazily by structure/pdb.py; when the shared library is absent an
 import error propagates and the pure-Python parser takes over (identical
 parsing rules — parity is asserted in tests/test_native.py).  The
-library is built on demand with ``make -C native`` the first time.
+library is built on demand with ``make -C native`` the first time, and
+rebuilt automatically when it predates the current ABI (detected by a
+missing ``pdb_parse_v2`` symbol).
 """
 from __future__ import annotations
 
@@ -19,23 +21,34 @@ _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libpdbparse.so")
 
 
-def _load():
-    if not os.path.exists(_LIB_PATH):
-        # Best-effort on-demand build; quiet failure -> ImportError below.
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            pass
-    lib = ctypes.CDLL(_LIB_PATH)   # raises OSError if still missing
+def _build(force: bool = False):
+    cmd = ["make", "-C", _NATIVE_DIR] + (["-B"] if force else [])
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass  # quiet failure -> OSError below when CDLL can't load
+
+
+def _bind(lib):
     lib.pdb_count_atoms.restype = ctypes.c_int
     lib.pdb_count_atoms.argtypes = [ctypes.c_char_p, ctypes.c_int]
-    lib.pdb_parse.restype = ctypes.c_int
-    lib.pdb_parse.argtypes = [
+    lib.pdb_parse_v2.restype = ctypes.c_int
+    lib.pdb_parse_v2.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_char_p, ctypes.c_char_p,
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_char_p]
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
     return lib
+
+
+def _load():
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)   # raises OSError if still missing
+    if not hasattr(lib, "pdb_parse_v2"):
+        _build(force=True)         # stale pre-v2 library: rebuild
+        lib = ctypes.CDLL(_LIB_PATH)
+    return _bind(lib)
 
 
 _lib = _load()
@@ -45,7 +58,8 @@ def parse_pdb(path: str, include_hetatm: bool = False):
     """Parse with the C++ fast path -> Structure (or None on failure)."""
     from deeplocalproteindocking_tpu.structure.atom_types import (
         assign_atom_types)
-    from deeplocalproteindocking_tpu.structure.pdb import Structure
+    from deeplocalproteindocking_tpu.structure.pdb import (
+        Structure, select_altlocs)
 
     het = 1 if include_hetatm else 0
     n = _lib.pdb_count_atoms(path.encode(), het)
@@ -56,12 +70,15 @@ def parse_pdb(path: str, include_hetatm: bool = False):
     res_raw = ctypes.create_string_buffer(max(3 * n, 3))
     chain_raw = ctypes.create_string_buffer(max(n, 1))
     icode_raw = ctypes.create_string_buffer(max(n, 1))
+    altloc_raw = ctypes.create_string_buffer(max(n, 1))
     res_ids = np.zeros(n, dtype=np.int32)
-    got = _lib.pdb_parse(
+    occ = np.zeros(n, dtype=np.float32)
+    got = _lib.pdb_parse_v2(
         path.encode(), het, n,
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         atom_raw, res_raw, chain_raw,
-        res_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), icode_raw)
+        res_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), icode_raw,
+        altloc_raw, occ.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if got != n:
         raise IOError(f"parse mismatch in {path}: {got} != {n}")
     atom_names = np.char.strip(
@@ -72,12 +89,17 @@ def parse_pdb(path: str, include_hetatm: bool = False):
         chain_raw.raw[:n], dtype="S1").astype("<U1")
     icodes = np.char.strip(np.frombuffer(
         icode_raw.raw[:n], dtype="S1").astype("<U1"))
+    altlocs = np.char.strip(np.frombuffer(
+        altloc_raw.raw[:n], dtype="S1").astype("<U1"))
+    keep = select_altlocs(atom_names, chain_ids, res_ids, icodes,
+                          altlocs, occ)
+    atom_names, res_names = atom_names[keep], res_names[keep]
     return Structure(
-        coords=coords,
+        coords=coords[keep],
         atom_names=atom_names,
         res_names=res_names,
-        res_ids=res_ids,
-        chain_ids=chain_ids,
+        res_ids=res_ids[keep],
+        chain_ids=chain_ids[keep],
         types=assign_atom_types(res_names, atom_names),
-        icodes=icodes,
+        icodes=icodes[keep],
     )

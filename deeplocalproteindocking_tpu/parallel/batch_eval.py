@@ -42,14 +42,18 @@ def dock_batch(mesh: Optional[Mesh],
                num_types: int,
                top_k: int = 32,
                chunk: int = 8,
+               score_mask: Optional[jax.Array] = None,
                fft_impl: str = "dft",
                dft_dtype: str = "float32") -> DockResult:
     """Dock ``B`` complexes against one rotation set in one program.
 
     ``H_batch [B, L, L, L//2+1, C]`` coupled receptor spectra;
-    ``lig_* [B, ...]`` padded ligand arrays.  Returns ``DockResult``
-    with leading batch dim ``[B, K]``.  With ``mesh=None`` runs
-    unsharded (vmap only); with a mesh, B must divide by mesh['batch'].
+    ``lig_* [B, ...]`` padded ligand arrays; ``score_mask [B, L, L, L]``
+    optional per-complex translation masks (circular-wraparound guard /
+    local-docking restriction — same semantics as pipeline.dock).
+    Returns ``DockResult`` with leading batch dim ``[B, K]``.  With
+    ``mesh=None`` runs unsharded (vmap only); with a mesh, B must
+    divide by mesh['batch'].
     """
     kw = dict(grid_size=grid_size, lig_grid=lig_grid,
               resolution=resolution, sigma=sigma, num_types=num_types,
@@ -57,10 +61,15 @@ def dock_batch(mesh: Optional[Mesh],
               dft_dtype=dft_dtype)
 
     if mesh is None:
+        if score_mask is None:
+            return jax.vmap(
+                lambda h, lc, lt, lm: dock_sweep_resplat(
+                    h, lc, lt, lm, rotations, rep_fn, **kw)
+            )(H_batch, lig_coords, lig_types, lig_mask)
         return jax.vmap(
-            lambda h, lc, lt, lm: dock_sweep_resplat(
-                h, lc, lt, lm, rotations, rep_fn, **kw)
-        )(H_batch, lig_coords, lig_types, lig_mask)
+            lambda h, lc, lt, lm, sm: dock_sweep_resplat(
+                h, lc, lt, lm, rotations, rep_fn, score_mask=sm, **kw)
+        )(H_batch, lig_coords, lig_types, lig_mask, score_mask)
 
     n_rot_dev = mesh.shape["rot"]
     n_rot = rotations.shape[0]
@@ -73,14 +82,21 @@ def dock_batch(mesh: Optional[Mesh],
     else:
         rotations_p = rotations
 
-    def shard_fn(hb, lc, lt, lm, rots, n_valid):
+    if score_mask is None:
+        # Trivial all-pass masks keep one shard_map signature; the cost
+        # is one broadcast AND that XLA folds away.
+        score_mask = jnp.ones(
+            (H_batch.shape[0],) + (grid_size,) * 3, dtype=bool)
+
+    def shard_fn(hb, lc, lt, lm, sm, rots, n_valid):
         shard = jax.lax.axis_index("rot")
         base = (shard * per_shard).astype(jnp.int32)
         local_valid = jnp.clip(n_valid - base, 0, per_shard)
 
-        def one(h, c, t, m):
+        def one(h, c, t, m, mask1):
             res = dock_sweep_resplat(h, c, t, m, rots, rep_fn,
-                                     num_valid=local_valid, **kw)
+                                     num_valid=local_valid,
+                                     score_mask=mask1, **kw)
             rot_idx = res.rot_idx + base
             valid = rot_idx < n_valid
             scores = jnp.where(valid, res.scores, -jnp.inf)
@@ -92,15 +108,15 @@ def dock_batch(mesh: Optional[Mesh],
             return DockResult(scores=best, rot_idx=all_rot[sel],
                               shifts=all_shift[sel])
 
-        return jax.vmap(one)(hb, lc, lt, lm)
+        return jax.vmap(one)(hb, lc, lt, lm, sm)
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("batch"), P("batch"), P("batch"), P("batch"),
-                  P("rot"), P()),
+                  P("batch"), P("rot"), P()),
         out_specs=DockResult(scores=P("batch"), rot_idx=P("batch"),
                              shifts=P("batch")),
         check_vma=False)
     n_valid = jnp.asarray(n_rot, dtype=jnp.int32)
-    return mapped(H_batch, lig_coords, lig_types, lig_mask, rotations_p,
-                  n_valid)
+    return mapped(H_batch, lig_coords, lig_types, lig_mask, score_mask,
+                  rotations_p, n_valid)

@@ -41,9 +41,6 @@ from deeplocalproteindocking_tpu.structure.so3 import (
     local_rotations, super_fibonacci_rotations,
 )
 from deeplocalproteindocking_tpu.structure.transforms import apply_pose
-from deeplocalproteindocking_tpu.sweep.cluster import (
-    nms_cluster, pose_pairwise_rmsd,
-)
 from deeplocalproteindocking_tpu.sweep.docker import dock_sweep
 
 
@@ -72,18 +69,40 @@ def shape_complementarity_reps(vol: jax.Array, *, core_weight: float = 12.0,
     ``vol [L, L, L, T]`` -> rep ``[L, L, L, 2]`` and the fixed coupling
     ``[[1, 0], [0, -core_weight]]``: surface-surface contact attracts,
     core-core overlap repels — ZDOCK-style shape complementarity without
-    a learned model.
+    a learned model.  (Implementation shared with the hybrid model's
+    prior branch: models/representation.py:shape_channels.)
     """
-    occ = vol.sum(-1)
-    core = (occ > threshold).astype(jnp.float32)
-    # ``shell``-voxel dilation via max pooling -> surface layer.
-    w = 2 * shell + 1
-    dil = jax.lax.reduce_window(core, -jnp.inf, jax.lax.max,
-                                (w, w, w), (1, 1, 1), "SAME")
-    surface = dil - core
-    rep = jnp.stack([surface, core], axis=-1)
-    coupling = jnp.array([[1.0, 0.0], [0.0, -core_weight]], jnp.float32)
-    return rep, coupling
+    from deeplocalproteindocking_tpu.models.representation import (
+        shape_channels)
+    return shape_channels(vol, core_weight=core_weight,
+                          threshold=threshold, shell=shell)
+
+
+def dock_score_mask(cfg: DockConfig, lig_c: Structure,
+                    translation_center=None, max_shift=None):
+    """Translation mask for one complex (or None when unrestricted).
+
+    Combines the circular-wraparound guard (poses whose shifted ligand
+    leaves the box alias under circular correlation — SURVEY.md §7 hard
+    part 3) with the optional local-docking restriction.  Shared by the
+    sequential (pipeline.dock) and batched (evaluation) paths so both
+    apply identical safety rails.
+    """
+    from deeplocalproteindocking_tpu.correlate.fft import translation_mask
+    lig_half_vox = int(np.ceil(
+        (np.abs(lig_c.typed().coords).max() + 3.0 * cfg.sigma)
+        / cfg.resolution))
+    wrap_cap = max(1, cfg.grid_size // 2 - lig_half_vox)
+    score_mask = None
+    if wrap_cap < cfg.grid_size // 2:
+        score_mask = translation_mask(cfg.grid_size, wrap_cap)
+    if max_shift is not None:
+        center = (None if translation_center is None
+                  else jnp.asarray(translation_center, jnp.int32))
+        local = translation_mask(
+            cfg.grid_size, int(round(max_shift / cfg.resolution)), center)
+        score_mask = local if score_mask is None else score_mask & local
+    return score_mask
 
 
 @dataclasses.dataclass
@@ -93,8 +112,11 @@ class DockingPipeline:
     mesh: Optional[object] = None      # jax Mesh => rotation-sharded sweep
 
     def __post_init__(self):
-        self.model = ScoringModel(features=self.config.rep_features,
-                                  kernel=self.config.rep_kernel)
+        self.model = ScoringModel(
+            features=self.config.rep_features,
+            kernel=self.config.rep_kernel,
+            dtype=jnp.dtype(self.config.compute_dtype),
+            shape_prior=self.config.shape_prior)
 
     # ---- building blocks ----
     def init_params(self, seed: int = 0) -> dict:
@@ -154,7 +176,8 @@ class DockingPipeline:
         if self.params is None:
             return 3                      # shape mode: 2-voxel dilation + 1
         cfg = self.config
-        return len(cfg.rep_features) * (cfg.rep_kernel // 2) + 1
+        rf = len(cfg.rep_features) * (cfg.rep_kernel // 2) + 1
+        return max(rf, 3) if cfg.shape_prior else rf
 
     # ---- the full stack (SURVEY.md §3.1) ----
     def dock(self, rec: Structure, lig: Structure,
@@ -172,31 +195,23 @@ class DockingPipeline:
         cfg = self.config
         rec_c = rec.centered()
         lig_c = lig.centered()
+        if len(lig_c.typed()) == 0:
+            raise ValueError(
+                "no typed atoms in ligand: every atom fell outside the "
+                "11-type table (all-HETATM/unknown-residue input?). "
+                "Check chain selection and input format.")
+        if len(rec_c.typed()) == 0:
+            raise ValueError(
+                "no typed atoms in receptor: every atom fell outside "
+                "the 11-type table. Check chain selection and input "
+                "format.")
         rec_vol = self.voxelize(rec_c)
         lig_vol = self.voxelize(lig_c)
         rep_rec, rep_lig, coupling = self.representations(rec_vol, lig_vol)
         if rotations is None:
             rotations = self.rotation_set()
-        from deeplocalproteindocking_tpu.correlate.fft import (
-            translation_mask)
-        # Wraparound guard: circular correlation aliases any pose whose
-        # shifted ligand leaves the box; |t| is capped so the ligand's
-        # bounding extent stays in-bounds (SURVEY.md §7 hard part 3).
-        lig_half_vox = int(np.ceil(
-            (np.abs(lig_c.typed().coords).max() + 3.0 * cfg.sigma)
-            / cfg.resolution))
-        wrap_cap = max(1, cfg.grid_size // 2 - lig_half_vox)
-        score_mask = None
-        if wrap_cap < cfg.grid_size // 2:
-            score_mask = translation_mask(cfg.grid_size, wrap_cap)
-        if max_shift is not None:
-            center = (None if translation_center is None
-                      else jnp.asarray(translation_center, jnp.int32))
-            local = translation_mask(
-                cfg.grid_size, int(round(max_shift / cfg.resolution)),
-                center)
-            score_mask = local if score_mask is None else (
-                score_mask & local)
+        score_mask = dock_score_mask(cfg, lig_c, translation_center,
+                                     max_shift)
         if cfg.sweep_mode == "resplat":
             from deeplocalproteindocking_tpu.correlate.fft import (
                 receptor_transform)
@@ -238,14 +253,13 @@ class DockingPipeline:
         Rs = np.asarray(rotations)[rot_idx]
         ts = shifts.astype(np.float32) * cfg.resolution
 
-        if cluster and len(scores) > 1:
-            lig_j = jnp.asarray(lig_c.coords)
-            D = pose_pairwise_rmsd(lig_j, jnp.asarray(Rs), jnp.asarray(ts))
-            keep = nms_cluster(scores, D, cfg.nms_rmsd)
-            scores, rot_idx = scores[keep], rot_idx[keep]
-            shifts, Rs, ts = shifts[keep], Rs[keep], ts[keep]
-        return PoseSet(scores=scores, rotations=Rs, translations=ts,
-                       rot_idx=rot_idx, shifts=shifts)
+        poses = PoseSet(scores=scores, rotations=Rs, translations=ts,
+                        rot_idx=rot_idx, shifts=shifts)
+        if cluster:
+            from deeplocalproteindocking_tpu.sweep.cluster import (
+                cluster_pose_set)
+            poses = cluster_pose_set(lig_c.coords, poses, cfg.nms_rmsd)
+        return poses
 
     def dock_complex(self, cplx: Complex, **kw) -> PoseSet:
         return self.dock(cplx.receptor, cplx.ligand, **kw)

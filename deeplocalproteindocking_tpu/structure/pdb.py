@@ -65,12 +65,13 @@ class Structure:
 
 
 def _parse_atom_line(line: str):
-    # PDB fixed columns (1-based): 13-16 atom name, 18-20 res name,
-    # 22 chain, 23-26 res seq, 27 insertion code,
-    # 31-38/39-46/47-54 x/y/z, 17 altloc.
-    altloc = line[16]
-    if altloc not in (" ", "A"):
+    # PDB fixed columns (1-based): 13-16 atom name, 17 altloc,
+    # 18-20 res name, 22 chain, 23-26 res seq, 27 insertion code,
+    # 31-38/39-46/47-54 x/y/z, 55-60 occupancy.
+    if len(line) < 54:
+        # Truncated record: skip, matching the native parser's rule.
         return None
+    altloc = line[16]
     name = line[12:16].strip()
     res = line[17:20].strip()
     chain = line[21]
@@ -80,11 +81,56 @@ def _parse_atom_line(line: str):
         x = float(line[30:38]); y = float(line[38:46]); z = float(line[46:54])
     except ValueError:
         return None
-    return name, res, chain, res_id, icode, x, y, z
+    try:
+        occ = float(line[54:60])
+    except (ValueError, IndexError):
+        occ = 1.0
+    return name, res, chain, res_id, icode, x, y, z, altloc, occ
+
+
+def select_altlocs(atom_names, chain_ids, res_ids, icodes, altlocs,
+                   occupancies) -> np.ndarray:
+    """Indices of atoms to keep after alternate-location resolution.
+
+    Real-world PDBs mark alternate conformations with altloc codes and
+    per-atom occupancies; the reference's loader survived on messy PDB
+    input [U: TorchProteinLibrary cPDBLoader.cpp — mount empty].  Rule:
+    for each physical atom (chain, res id, insertion code, atom name)
+    keep the HIGHEST-occupancy altloc (first record wins ties), at its
+    first-seen position.  Shared by the pure-Python and native parsers
+    so the two stay bit-identical.
+    """
+    n = len(atom_names)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    alt = np.asarray(altlocs)
+    if bool(np.all((alt == "") | (alt == " "))):
+        return np.arange(n, dtype=np.int64)   # fast path: no altlocs
+    keys = np.stack([np.asarray(chain_ids).astype("<U4"),
+                     np.asarray(res_ids).astype("<U8"),
+                     np.asarray(icodes).astype("<U4"),
+                     np.asarray(atom_names).astype("<U4")], axis=1)
+    flat = np.asarray(["|".join(k) for k in keys])
+    _, first_idx, inv = np.unique(flat, return_index=True,
+                                  return_inverse=True)
+    occ = np.asarray(occupancies, dtype=np.float64)
+    idx = np.arange(n)
+    # Sort each group by (-occupancy, original index): first row of each
+    # group is the winner (max occupancy, earliest on ties).
+    order = np.lexsort((idx, -occ, inv))
+    inv_sorted = inv[order]
+    group_start = np.ones(n, dtype=bool)
+    group_start[1:] = inv_sorted[1:] != inv_sorted[:-1]
+    winners = order[group_start]               # one per group
+    # Keep original file order by each group's first occurrence.
+    groups_of_winners = inv[winners]
+    return winners[np.argsort(first_idx[groups_of_winners],
+                              kind="stable")]
 
 
 def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
     names, ress, chains, rids, icds, xyz = [], [], [], [], [], []
+    alts, occs = [], []
     for line in text.splitlines():
         rec = line[:6]
         if rec == "ENDMDL":  # first NMR model only
@@ -93,10 +139,17 @@ def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
             parsed = _parse_atom_line(line)
             if parsed is None:
                 continue
-            name, res, chain, res_id, icode, x, y, z = parsed
+            name, res, chain, res_id, icode, x, y, z, alt, occ = parsed
             names.append(name); ress.append(res); chains.append(chain)
             rids.append(res_id); icds.append(icode); xyz.append((x, y, z))
-    coords = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)
+            alts.append(alt.strip()); occs.append(occ)
+    keep = select_altlocs(names, chains, rids, icds, alts, occs)
+    coords = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)[keep]
+    names = [names[i] for i in keep]
+    ress = [ress[i] for i in keep]
+    chains = [chains[i] for i in keep]
+    rids = [rids[i] for i in keep]
+    icds = [icds[i] for i in keep]
     atom_names = np.asarray(names, dtype="<U4")
     res_names = np.asarray(ress, dtype="<U3")
     types = assign_atom_types(res_names, atom_names)

@@ -47,6 +47,26 @@ def pose_pairwise_rmsd(lig_coords: jax.Array,
     return jnp.sqrt(jnp.maximum(sq, 0.0))
 
 
+def cluster_pose_set(lig_coords, poses, radius: float):
+    """NMS-cluster a ``pipeline.PoseSet``; returns the clustered set.
+
+    Shared by the sequential (pipeline.dock) and batched
+    (evaluation.run_benchmark_batched) paths so both report comparable
+    pose lists.
+    """
+    if len(poses.scores) <= 1:
+        return poses
+    D = pose_pairwise_rmsd(jnp.asarray(lig_coords),
+                           jnp.asarray(poses.rotations),
+                           jnp.asarray(poses.translations))
+    keep = nms_cluster(poses.scores, D, radius)
+    return type(poses)(scores=poses.scores[keep],
+                       rotations=poses.rotations[keep],
+                       translations=poses.translations[keep],
+                       rot_idx=poses.rot_idx[keep],
+                       shifts=poses.shifts[keep])
+
+
 def nms_cluster(scores, rmsd_matrix, radius: float, max_out: int | None = None):
     """Greedy NMS: accept best-scoring pose, drop all within ``radius``.
 

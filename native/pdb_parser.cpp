@@ -8,9 +8,12 @@
 // (deeplocalproteindocking_tpu/native/pdb_native.py).  Parsing rules
 // mirror the pure-Python fallback in structure/pdb.py exactly:
 //  * ATOM records always; HETATM when include_hetatm != 0
-//  * altloc (col 17) must be ' ' or 'A'
+//  * every altloc is emitted along with its occupancy (col 55-60,
+//    1.0 when absent) — occupancy-based altloc selection is applied by
+//    the shared helper structure/pdb.py:select_altlocs so both parsers
+//    keep identical semantics
 //  * stop at ENDMDL (first NMR model only)
-//  * skip records with unparseable numeric fields
+//  * skip records shorter than 54 columns or with unparseable fields
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
@@ -25,10 +28,12 @@ namespace {
 
 struct Atom {
   float xyz[3];
+  float occupancy;    // col 55-60, 1.0 when absent/unparseable
   char atom_name[5];  // trimmed, NUL-terminated
   char res_name[4];
   char chain;
   char icode;         // insertion code (col 27), ' ' if none
+  char altloc;        // col 17, ' ' if none
   int res_id;
 };
 
@@ -85,13 +90,14 @@ bool parse_atoms(const char* path, int include_hetatm,
     bool is_het = len >= 6 && memcmp(line, "HETATM", 6) == 0;
     if (!is_atom && !(include_hetatm && is_het)) continue;
     if (len < 54) continue;
-    char altloc = line[16];
-    if (altloc != ' ' && altloc != 'A') continue;
     Atom a;
+    a.altloc = line[16];
     if (!parse_int_field(line, len, 22, 4, &a.res_id)) continue;
     if (!parse_float_field(line, len, 30, 8, &a.xyz[0])) continue;
     if (!parse_float_field(line, len, 38, 8, &a.xyz[1])) continue;
     if (!parse_float_field(line, len, 46, 8, &a.xyz[2])) continue;
+    if (!parse_float_field(line, len, 54, 6, &a.occupancy))
+      a.occupancy = 1.0f;
     trim_into(line, 12, 4, a.atom_name, sizeof a.atom_name);
     trim_into(line, 17, 3, a.res_name, sizeof a.res_name);
     a.chain = line[21];
@@ -113,17 +119,20 @@ int pdb_count_atoms(const char* path, int include_hetatm) {
   return (int)atoms.size();
 }
 
-// Pass 2: fill caller buffers sized for `capacity` atoms:
-//   coords     float32 [capacity * 3]
-//   atom_names char    [capacity * 4]  (space-padded, no NUL)
-//   res_names  char    [capacity * 3]
-//   chain_ids  char    [capacity]
-//   res_ids    int32   [capacity]
-//   icodes     char    [capacity]  (' ' when absent)
+// Pass 2 (v2 ABI): fill caller buffers sized for `capacity` atoms:
+//   coords      float32 [capacity * 3]
+//   atom_names  char    [capacity * 4]  (space-padded, no NUL)
+//   res_names   char    [capacity * 3]
+//   chain_ids   char    [capacity]
+//   res_ids     int32   [capacity]
+//   icodes      char    [capacity]  (' ' when absent)
+//   altlocs     char    [capacity]  (' ' when absent)
+//   occupancies float32 [capacity]  (1.0 when absent)
 // Returns the number of atoms written, or -1 on error.
-int pdb_parse(const char* path, int include_hetatm, int capacity,
-              float* coords, char* atom_names, char* res_names,
-              char* chain_ids, int* res_ids, char* icodes) {
+int pdb_parse_v2(const char* path, int include_hetatm, int capacity,
+                 float* coords, char* atom_names, char* res_names,
+                 char* chain_ids, int* res_ids, char* icodes,
+                 char* altlocs, float* occupancies) {
   std::vector<Atom> atoms;
   if (!parse_atoms(path, include_hetatm, &atoms)) return -1;
   int n = (int)atoms.size();
@@ -138,6 +147,8 @@ int pdb_parse(const char* path, int include_hetatm, int capacity,
     chain_ids[i] = a.chain;
     res_ids[i] = a.res_id;
     icodes[i] = a.icode;
+    altlocs[i] = a.altloc;
+    occupancies[i] = a.occupancy;
   }
   return n;
 }

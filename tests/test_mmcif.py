@@ -1,0 +1,72 @@
+"""mmCIF ingestion: atom_site loop, altlocs, multi-model, dispatch."""
+import numpy as np
+
+from deeplocalproteindocking_tpu.structure.mmcif import (
+    parse_mmcif_text, parse_structure,
+)
+from deeplocalproteindocking_tpu.structure.pdb import parse_pdb_text
+
+
+CIF = """\
+data_test
+#
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.label_atom_id
+_atom_site.label_alt_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.pdbx_PDB_ins_code
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.occupancy
+_atom_site.pdbx_PDB_model_num
+ATOM 1 N . MET A 1 ? 27.340 24.430 2.614 1.00 1
+ATOM 2 CA A MET A 1 ? 26.266 25.413 2.842 0.40 1
+ATOM 3 CA B MET A 1 ? 26.500 25.600 2.900 0.60 1
+HETATM 4 O . HOH A 100 ? 10.000 10.000 10.000 1.00 1
+ATOM 5 N . MET A 1 ? 0.000 0.000 0.000 1.00 2
+#
+"""
+
+PDB_EQUIV = """\
+ATOM      1  N   MET A   1      27.340  24.430   2.614  1.00  0.00
+ATOM      2  CA AMET A   1      26.266  25.413   2.842  0.40  0.00
+ATOM      3  CA BMET A   1      26.500  25.600   2.900  0.60  0.00
+"""
+
+
+class TestMMCIF:
+    def test_atom_site_parse_with_altloc_and_models(self):
+        s = parse_mmcif_text(CIF)
+        # N + winning CA altloc; HETATM skipped; model 2 skipped.
+        assert len(s) == 2
+        assert list(s.atom_names) == ["N", "CA"]
+        np.testing.assert_allclose(s.coords[1], [26.5, 25.6, 2.9],
+                                   atol=1e-4)
+        assert list(s.res_names) == ["MET", "MET"]
+        assert list(s.chain_ids) == ["A", "A"]
+
+    def test_hetatm_flag(self):
+        s = parse_mmcif_text(CIF, include_hetatm=True)
+        assert len(s) == 3
+        assert "HOH" in list(s.res_names)
+
+    def test_matches_pdb_parser_semantics(self):
+        c = parse_mmcif_text(CIF)
+        p = parse_pdb_text(PDB_EQUIV)
+        np.testing.assert_allclose(c.coords, p.coords, atol=1e-4)
+        assert list(c.types) == list(p.types)
+
+    def test_dispatch_by_extension(self, tmp_path):
+        f = tmp_path / "x.cif"
+        f.write_text(CIF)
+        s = parse_structure(f)
+        assert len(s) == 2
+        g = tmp_path / "y.pdb"
+        g.write_text(PDB_EQUIV)
+        s2 = parse_structure(g)
+        np.testing.assert_allclose(s.coords, s2.coords, atol=1e-4)

@@ -19,6 +19,14 @@ ENDMDL
 ATOM      4  CB  MET A   1      25.112  24.880   3.649  1.00  0.00
 """
 
+# Two altlocs of the same CA: B has the higher occupancy and must win;
+# the lone N has no competition.
+ALTLOC_SNIPPET = """\
+ATOM      1  N   MET A   1      27.340  24.430   2.614  1.00  0.00
+ATOM      2  CA AMET A   1      26.266  25.413   2.842  0.40  0.00
+ATOM      3  CA BMET A   1      26.500  25.600   2.900  0.60  0.00
+"""
+
 
 class TestNativeParser:
     def test_parity_on_synthetic(self, tmp_path):
@@ -40,11 +48,34 @@ class TestNativeParser:
         p.write_text(HETATM_SNIPPET)
         fast = pdb_native.parse_pdb(str(p))
         slow = parse_pdb_text(HETATM_SNIPPET)
-        # altloc B skipped, HETATM skipped, ENDMDL stops: 1 atom.
-        assert len(fast) == len(slow) == 1
+        # Lone altloc B kept (it's the only CA), HETATM skipped,
+        # ENDMDL stops: 2 atoms.
+        assert len(fast) == len(slow) == 2
         fast_h = pdb_native.parse_pdb(str(p), include_hetatm=True)
         slow_h = parse_pdb_text(HETATM_SNIPPET, include_hetatm=True)
-        assert len(fast_h) == len(slow_h) == 2
+        assert len(fast_h) == len(slow_h) == 3
+
+    def test_occupancy_based_altloc_selection(self, tmp_path):
+        p = tmp_path / "alt.pdb"
+        p.write_text(ALTLOC_SNIPPET)
+        for s in (pdb_native.parse_pdb(str(p)),
+                  parse_pdb_text(ALTLOC_SNIPPET)):
+            assert len(s) == 2
+            assert list(s.atom_names) == ["N", "CA"]
+            # The 0.60-occupancy B conformer wins, at CA's first-seen
+            # position (after N).
+            np.testing.assert_allclose(
+                s.coords[1], [26.5, 25.6, 2.9], atol=1e-4)
+
+    def test_truncated_record_skipped(self, tmp_path):
+        text = ("ATOM      1  CA  MET A   1      27.340  24.430\n"
+                "ATOM      2  CA  GLY A   2      1.000   2.000   3.000"
+                "  1.00  0.00\n")
+        p = tmp_path / "trunc.pdb"
+        p.write_text(text)
+        for s in (pdb_native.parse_pdb(str(p)), parse_pdb_text(text)):
+            assert len(s) == 1
+            assert list(s.res_names) == ["GLY"]
 
     def test_dispatch_from_parse_pdb(self, tmp_path):
         # structure.pdb.parse_pdb should route through the native lib
