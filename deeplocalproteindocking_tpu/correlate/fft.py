@@ -74,7 +74,7 @@ def score_at(H: jax.Array, lig_rep: jax.Array,
     """
     S = correlate_scores(H, lig_rep)
     L = S.shape[0]
-    idx = jnp.mod(shifts, L)
+    idx = jnp.mod(jnp.round(shifts).astype(jnp.int32), L)
     return S[idx[..., 0], idx[..., 1], idx[..., 2]]
 
 

@@ -20,7 +20,9 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deeplocalproteindocking_tpu.models.representation import Representation
+from deeplocalproteindocking_tpu.models.representation import (
+    HybridRepresentation, Representation, shape_channels,
+)
 
 
 def _identity_init(key, shape, dtype=jnp.float32):
@@ -28,16 +30,39 @@ def _identity_init(key, shape, dtype=jnp.float32):
     return jnp.eye(shape[0], shape[1], dtype=dtype)
 
 
+def _shape_block_init(key, shape, dtype=jnp.float32):
+    """Block-diagonal init for the hybrid model: the 2x2 shape-
+    complementarity coupling in the prior block, ZEROS elsewhere —
+    so the untrained hybrid scores EXACTLY classic shape
+    complementarity (the learned channels contribute nothing until
+    the ranking loss moves the coupling off zero)."""
+    del key
+    m = jnp.zeros(shape, dtype=dtype)
+    return m.at[:2, :2].set(shape_channels(jnp.zeros((4, 4, 4, 1)))[1])
+
+
 class ScoringModel(nn.Module):
     features: Tuple[int, ...] = (32, 32, 16)
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
+    shape_prior: bool = False    # hybrid: analytic (surface, core)
+                                 # channels ++ learned CNN channels
 
     def setup(self):
-        self.representation = Representation(
-            features=self.features, kernel=self.kernel, dtype=self.dtype)
-        c = self.features[-1]
-        self.coupling = self.param("coupling", _identity_init, (c, c))
+        if self.shape_prior:
+            self.representation = HybridRepresentation(
+                features=self.features, kernel=self.kernel,
+                dtype=self.dtype)
+            c = self.features[-1] + 2
+            self.coupling = self.param("coupling", _shape_block_init,
+                                       (c, c))
+        else:
+            self.representation = Representation(
+                features=self.features, kernel=self.kernel,
+                dtype=self.dtype)
+            c = self.features[-1]
+            self.coupling = self.param("coupling", _identity_init,
+                                       (c, c))
 
     def __call__(self, rec_vol: jnp.ndarray, lig_vol: jnp.ndarray):
         """Returns (rep_rec, rep_lig, coupling) for the sweep/trainer."""

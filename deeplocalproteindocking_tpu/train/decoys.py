@@ -70,3 +70,36 @@ def generate_decoys(key: jax.Array,
     lrmsd = rmsd(posed, native_pose[None],
                  jnp.broadcast_to(lig_mask[None], posed.shape[:-1]))
     return DecoySet(rotations=Rs, shifts=shifts, lrmsd=lrmsd)
+
+
+def generate_global_decoys(key: jax.Array,
+                           lig_coords: jax.Array,
+                           lig_mask: jax.Array,
+                           native_shift: jax.Array,
+                           *,
+                           n: int,
+                           resolution: float,
+                           max_shift_vox: int) -> DecoySet:
+    """Uniform GLOBAL decoys: full SO(3) rotations x box-wide shifts.
+
+    Local decoys (``generate_decoys``) teach a model to rank within a
+    cone — a model trained only on them scores arbitrary far-away poses
+    out of distribution and loses the *global* docking benchmark (the
+    round-1 README matrix: learned-global 0.0 top-1 vs shape's 0.5).
+    Global negatives make every pose in the searchable box in-
+    distribution.  ``max_shift_vox`` should keep the shifted ligand
+    inside the box (no wrap-aliased labels): typically
+    ``grid//2 - ligand_half_extent_vox``.
+    """
+    from deeplocalproteindocking_tpu.structure.transforms import (
+        random_rotations)
+    k_rot, k_t = jax.random.split(key)
+    Rs = random_rotations(k_rot, n)
+    shifts = jax.random.randint(
+        k_t, (n, 3), -max_shift_vox, max_shift_vox + 1).astype(jnp.int32)
+    native_pose = lig_coords + native_shift.astype(jnp.float32) * resolution
+    posed = apply_pose(lig_coords[None], Rs,
+                       shifts.astype(jnp.float32) * resolution)
+    lrmsd = rmsd(posed, native_pose[None],
+                 jnp.broadcast_to(lig_mask[None], posed.shape[:-1]))
+    return DecoySet(rotations=Rs, shifts=shifts, lrmsd=lrmsd)

@@ -57,8 +57,13 @@ class Trainer:
     def __init__(self, config: DockConfig):
         self.config = config
         self.model = ScoringModel(features=config.rep_features,
-                                  kernel=config.rep_kernel)
-        self.optimizer = optax.adam(config.learning_rate)
+                                  kernel=config.rep_kernel,
+                                  shape_prior=config.shape_prior)
+        self.optimizer = (
+            optax.adamw(config.learning_rate,
+                        weight_decay=config.weight_decay)
+            if config.weight_decay > 0.0
+            else optax.adam(config.learning_rate))
         self._step_fn = jax.jit(self._train_step)
 
     # ---- setup ----

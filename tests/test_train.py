@@ -151,3 +151,90 @@ class TestAugmentation:
         lr = np.asarray(batch.decoy_lrmsd)
         assert np.isfinite(lr).all()
         assert (lr[:, 0] < 1.5).all()   # native decoy, voxel-snap error
+
+
+class TestGlobalDecoysAndMining:
+    def test_global_decoys_cover_so3_and_box(self):
+        import jax
+        from deeplocalproteindocking_tpu.train.decoys import (
+            generate_global_decoys)
+        lig = jnp.asarray(np.random.default_rng(0).normal(
+            size=(8, 3)).astype(np.float32)) * 2.0
+        mask = jnp.ones(8, jnp.float32)
+        nat = jnp.zeros(3, jnp.int32)
+        d = generate_global_decoys(jax.random.key(0), lig, mask, nat,
+                                   n=128, resolution=1.5,
+                                   max_shift_vox=6)
+        # Shifts span the full allowed cube, rotations far from identity.
+        s = np.asarray(d.shifts)
+        assert s.max() == 6 and s.min() == -6
+        traces = np.trace(np.asarray(d.rotations), axis1=1, axis2=2)
+        assert traces.min() < 0.0  # rotations beyond any small cone
+        assert np.asarray(d.lrmsd).max() > 10.0
+
+    def test_mined_buffer_feeds_batch_and_labels_hold(self):
+        import jax
+        from deeplocalproteindocking_tpu.data import synthetic_complex
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            make_training_batch)
+        from deeplocalproteindocking_tpu.train.mining import (
+            mine_hard_negatives)
+        from deeplocalproteindocking_tpu.train.trainer import Trainer
+        from deeplocalproteindocking_tpu.structure.transforms import (
+            apply_pose)
+        from deeplocalproteindocking_tpu.utils.rmsd import rmsd as _rmsd
+        cfg = DockConfig(grid_size=24, resolution=1.5, rep_features=(4,),
+                         num_decoys=8, batch_complexes=2,
+                         decoy_global_frac=0.25, splat_window=4,
+                         rotation_chunk=4)
+        tr = Trainer(cfg)
+        state = tr.init_state()
+        cplxs = [synthetic_complex(seed=s, n_res_rec=6, n_res_lig=3)
+                 for s in range(2)]
+        mined = mine_hard_negatives(tr.model, state.params, cfg, cplxs,
+                                    n_rotations=8, top_k=8)
+        assert set(mined) == {c.name for c in cplxs}
+        b = make_training_batch(jax.random.key(1), cplxs, cfg,
+                                mined=mined)
+        assert b.decoy_shift.dtype == jnp.float32
+        assert b.decoy_rot.shape == (2, cfg.num_decoys, 3, 3)
+        # Every decoy's LRMSD label must equal the geometric LRMSD of
+        # its (R, s) pose in the (possibly augmented) batch frame.
+        for bi in range(2):
+            lc, lm = b.lig_coords[bi], b.lig_mask[bi]
+            # Native pose: the batch's own decoy 0 is the native.
+            posed = apply_pose(lc[None], b.decoy_rot[bi],
+                               b.decoy_shift[bi] * cfg.resolution)
+            native = apply_pose(lc[None], b.decoy_rot[bi, :1],
+                                b.decoy_shift[bi, :1] * cfg.resolution)
+            got = _rmsd(posed, native,
+                        jnp.broadcast_to(lm[None], posed.shape[:-1]))
+            # Mined labels reference the TRUE native placement; the
+            # batch's decoy-0 native is lattice-snapped — tolerate the
+            # sub-voxel difference (<= resolution * sqrt(3) / 2).
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(b.decoy_lrmsd[bi]),
+                                       atol=1.5 * cfg.resolution)
+
+    def test_train_step_with_mined_runs(self):
+        import jax
+        from deeplocalproteindocking_tpu.data import synthetic_complex
+        from deeplocalproteindocking_tpu.train.data_gen import (
+            make_training_batch)
+        from deeplocalproteindocking_tpu.train.mining import (
+            mine_hard_negatives)
+        from deeplocalproteindocking_tpu.train.trainer import Trainer
+        cfg = DockConfig(grid_size=24, resolution=1.5, rep_features=(4,),
+                         num_decoys=8, batch_complexes=2,
+                         decoy_global_frac=0.4, splat_window=4,
+                         rotation_chunk=4)
+        tr = Trainer(cfg)
+        state = tr.init_state()
+        cplxs = [synthetic_complex(seed=s, n_res_rec=6, n_res_lig=3)
+                 for s in range(2)]
+        mined = mine_hard_negatives(tr.model, state.params, cfg, cplxs,
+                                    n_rotations=8, top_k=8)
+        b = make_training_batch(jax.random.key(0), cplxs, cfg,
+                                mined=mined)
+        state, m = tr.train_step(state, b)
+        assert np.isfinite(float(np.asarray(m["loss"])))

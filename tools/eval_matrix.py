@@ -1,0 +1,120 @@
+"""README results matrix: learned vs shape, global + local protocols.
+
+Held-out synthetic complexes (seeds >= 100, disjoint from every
+training seed).  Global protocol: full super-Fibonacci SO(3) sweep,
+unrestricted translations.  Local protocol: 50-degree cone around the
+native orientation, +-8 A translations (the reference's local-docking
+evaluation).
+
+Usage: python tools/eval_matrix.py [ckpt_dir] [out_json]
+Env: EM_NROT (global rotations, default 1536), EM_GRID (default 64),
+     EM_COMPLEXES (default 8), EM_MODES ("global,local").
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from deeplocalproteindocking_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.data import synthetic_complex
+from deeplocalproteindocking_tpu.evaluation import grade_poses
+from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+from deeplocalproteindocking_tpu.train import Trainer
+
+
+def heldout_complexes(n):
+    return [synthetic_complex(seed=100 + s, n_res_rec=14 + s % 5,
+                              n_res_lig=7 + s % 3) for s in range(n)]
+
+
+def eval_mode(pipe, complexes, mode, cfg):
+    from deeplocalproteindocking_tpu.train.data_gen import (
+        native_voxel_shift)
+    hits1 = hits10 = 0
+    rows = []
+    for c in complexes:
+        kw = {}
+        if mode == "local":
+            kw["rotations"] = pipe.rotation_set(None)
+            kw["translation_center"] = native_voxel_shift(
+                c, cfg.resolution)
+            kw["max_shift"] = cfg.decoy_max_shift
+        poses = pipe.dock_complex(c, **kw)
+        graded = grade_poses(c, poses)
+        h1 = bool(graded and graded[0]["capri"] != "incorrect")
+        h10 = any(g["capri"] != "incorrect" for g in graded[:10])
+        hits1 += h1
+        hits10 += h10
+        rows.append(dict(name=c.name, hit_top1=h1, hit_top10=h10,
+                         best_lrmsd=min((g["lrmsd"] for g in graded),
+                                        default=None)))
+    n = len(complexes)
+    return dict(top1=hits1 / n, top10=hits10 / n, complexes=rows)
+
+
+def main():
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else "pretrained/synthetic-v4"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        ckpt, "eval_matrix.json")
+    n_rot = int(os.environ.get("EM_NROT", 1536))
+    grid = int(os.environ.get("EM_GRID", 64))
+    n_cplx = int(os.environ.get("EM_COMPLEXES", 8))
+    modes = os.environ.get("EM_MODES", "global,local").split(",")
+
+    complexes = heldout_complexes(n_cplx)
+    results = {}
+
+    for mode in modes:
+        local = mode == "local"
+        base = dict(grid_size=grid, resolution=1.25,
+                    num_rotations=64 if local else n_rot,
+                    local_cone_deg=50.0 if local else None,
+                    rotation_chunk=16, top_k=64, nms_rmsd=5.0,
+                    decoy_max_shift=8.0)
+
+        # Shape-complementarity baseline (params=None).
+        shape_cfg = DockConfig(rep_features=(8,), **base)
+        shape_pipe = DockingPipeline(config=shape_cfg)
+        results[f"shape_{mode}"] = eval_mode(shape_pipe, complexes,
+                                             mode, shape_cfg)
+        print(mode, "shape:", results[f"shape_{mode}"]["top1"],
+              results[f"shape_{mode}"]["top10"], flush=True)
+
+        # Learned model from the checkpoint (its own trained config,
+        # geometry overridden to the eval protocol).
+        with open(os.path.join(ckpt, "config.json")) as f:
+            tcfg = DockConfig.from_json(f.read())
+        lcfg = tcfg.replace(compute_dtype="bfloat16",
+                            dft_dtype="bfloat16", lig_grid_size=None,
+                            **base)
+        trainer = Trainer(tcfg)
+        state = trainer.restore(ckpt)
+        lpipe = DockingPipeline(config=lcfg)
+        lpipe.params = state.params
+        results[f"learned_{mode}"] = eval_mode(lpipe, complexes, mode,
+                                               lcfg)
+        print(mode, "learned:", results[f"learned_{mode}"]["top1"],
+              results[f"learned_{mode}"]["top10"], flush=True)
+
+    results["protocol"] = dict(n_rotations=n_rot, grid=grid,
+                               n_complexes=n_cplx,
+                               heldout_seeds=[100 + s
+                                              for s in range(n_cplx)])
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: (dict(top1=v["top1"], top10=v["top10"])
+                          if isinstance(v, dict) and "top1" in v else v)
+                      for k, v in results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Train the flagship hybrid model (pretrained/synthetic-v4).
+
+Curriculum for GLOBAL-docking wins (round-1 VERDICT next-round #3):
+
+* hybrid shape-prior model (untrained == shape complementarity,
+  bias-free CNN — tests/test_hybrid.py) so the baseline is the
+  optimization's zero point;
+* local + GLOBAL decoys + FFT-mined hard negatives;
+* AdamW weight decay + VALIDATION-SELECTED checkpoint: every
+  ``val_every`` steps the current model runs a small global sweep on
+  val complexes (seeds 50+, disjoint from train 0..N and report
+  100+); the checkpoint with the best val global hit-rate wins.
+
+Usage: python tools/train_flagship.py [steps] [ckpt_dir]
+Env: TF_GRID, TF_NROT_MINE, TF_MINE_EVERY, TF_SEEDS, TF_VAL_EVERY.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from deeplocalproteindocking_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.data import synthetic_complex
+from deeplocalproteindocking_tpu.evaluation import grade_poses
+from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+from deeplocalproteindocking_tpu.train import Trainer
+from deeplocalproteindocking_tpu.train.data_gen import (
+    fit_lig_grid, make_training_batch)
+from deeplocalproteindocking_tpu.train.mining import mine_hard_negatives
+from deeplocalproteindocking_tpu.utils.logging import MetricsLogger
+
+
+def make_complexes(seed0, n):
+    return [synthetic_complex(seed=seed0 + s, n_res_rec=14 + s % 5,
+                              n_res_lig=7 + s % 3) for s in range(n)]
+
+
+def val_global_hits(params, cfg, complexes, n_rot=256):
+    """Global-sweep hit rates of the current params on val complexes."""
+    vcfg = cfg.replace(num_rotations=n_rot, top_k=32,
+                       local_cone_deg=None, lig_grid_size=None)
+    pipe = DockingPipeline(config=vcfg)
+    pipe.params = params
+    h1 = h10 = 0
+    best = []
+    for c in complexes:
+        poses = pipe.dock_complex(c)
+        graded = grade_poses(c, poses)
+        h1 += bool(graded and graded[0]["capri"] != "incorrect")
+        h10 += any(g["capri"] != "incorrect" for g in graded[:10])
+        best.append(min((g["lrmsd"] for g in graded), default=99.0))
+    n = len(complexes)
+    return h1 / n, h10 / n, float(np.mean(best))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    ckpt_dir = sys.argv[2] if len(sys.argv) > 2 else "pretrained/synthetic-v4"
+    grid = int(os.environ.get("TF_GRID", 64))
+    mine_every = int(os.environ.get("TF_MINE_EVERY", 50))
+    mine_rots = int(os.environ.get("TF_NROT_MINE", 192))
+    n_train = int(os.environ.get("TF_SEEDS", 48))
+    val_every = int(os.environ.get("TF_VAL_EVERY", 100))
+
+    cfg = DockConfig(
+        grid_size=grid, resolution=1.25, rep_features=(32, 14),
+        shape_prior=True,   # 14 learned + 2 prior channels = 16 total
+                            # (keeps the fused kernel's C=16 tiling)
+        num_decoys=24, batch_complexes=2, learning_rate=3e-4,
+        weight_decay=1e-4,
+        near_native_rmsd=4.0, hinge_margin=20.0,
+        decoy_max_angle_deg=50.0, decoy_max_shift=8.0,
+        decoy_global_frac=0.35, mined_frac=0.25,
+        rotation_chunk=16, augment_rotations=True)
+
+    complexes = make_complexes(0, n_train)
+    val_cplx = make_complexes(50, 8)
+    cfg = fit_lig_grid(complexes, cfg)
+    print(f"config: grid={cfg.grid_size} lig_grid={cfg.lig_grid_size} "
+          f"decoys={cfg.num_decoys} global_frac={cfg.decoy_global_frac} "
+          f"train={n_train} wd={cfg.weight_decay}")
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    logger = MetricsLogger(os.path.join(ckpt_dir, "train.jsonl"))
+
+    # Baseline = untrained hybrid == shape complementarity: the val
+    # bar every later checkpoint must clear.
+    v1, v10, vb = val_global_hits(state.params, cfg, val_cplx)
+    best = dict(top1=v1, top10=v10, lrmsd=vb, step=0)
+    print(f"step 0 (== shape baseline): val global top1={v1:.3f} "
+          f"top10={v10:.3f} best-lrmsd={vb:.2f}", flush=True)
+    trainer.save(ckpt_dir, state)
+    best_dir = os.path.join(ckpt_dir, "best")
+    os.makedirs(best_dir, exist_ok=True)
+    trainer.save(best_dir, state)
+
+    key = state.key
+    mined = None
+    t0 = time.perf_counter()
+    for step in range(int(state.step), steps):
+        if mine_every and step % mine_every == 0 and step > 0:
+            mined = mine_hard_negatives(
+                trainer.model, state.params, cfg, complexes,
+                n_rotations=mine_rots, top_k=24)
+        key, k_batch = jax.random.split(key)
+        batch = make_training_batch(k_batch, complexes, cfg, mined=mined)
+        state, metrics = trainer.train_step(state, batch)
+        loss = float(np.asarray(metrics["loss"]))
+        acc = float(np.asarray(metrics["ranking_accuracy"]))
+        logger.log("train_step", step=step, loss=loss,
+                   ranking_accuracy=acc)
+        if (step + 1) % val_every == 0 or step + 1 == steps:
+            v1, v10, vb = val_global_hits(state.params, cfg, val_cplx)
+            logger.log("val", step=step + 1, top1=v1, top10=v10,
+                       best_lrmsd=vb)
+            print(f"step {step + 1}: loss={loss:.3f} acc={acc:.3f} "
+                  f"val global top1={v1:.3f} top10={v10:.3f} "
+                  f"lrmsd={vb:.2f} "
+                  f"({(time.perf_counter() - t0):.0f}s)", flush=True)
+            if (v1, v10, -vb) > (best["top1"], best["top10"],
+                                 -best["lrmsd"]):
+                best = dict(top1=v1, top10=v10, lrmsd=vb, step=step + 1)
+                trainer.save(best_dir, state)
+                print(f"  -> new best (saved)", flush=True)
+            trainer.save(ckpt_dir, state)
+    print(f"done; best val step {best['step']}: top1={best['top1']:.3f}"
+          f" top10={best['top10']:.3f}")
+    with open(os.path.join(ckpt_dir, "TRAINING.json"), "w") as f:
+        json.dump(dict(steps=steps, grid=grid, mine_every=mine_every,
+                       mine_rotations=mine_rots, n_train=n_train,
+                       best_val=best,
+                       curriculum="hybrid+local+global+mined+valsel"),
+                  f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
