@@ -85,14 +85,16 @@ def _build_pipeline(cfg, checkpoint=None):
 
 
 def cmd_dock(args):
-    from deeplocalproteindocking_tpu.structure.pdb import (
-        parse_pdb, write_pdb)
+    from deeplocalproteindocking_tpu.structure.mmcif import (
+        parse_structure)
+    from deeplocalproteindocking_tpu.structure.pdb import write_pdb
     from deeplocalproteindocking_tpu.utils.profiling import maybe_trace
     import dataclasses
     cfg = _build_config(args)
     pipe = _build_pipeline(cfg, args.checkpoint)
-    rec = parse_pdb(args.receptor).typed()
-    lig = parse_pdb(args.ligand).typed()
+    rec = parse_structure(args.receptor,
+                          model=args.receptor_model).typed()
+    lig = parse_structure(args.ligand, model=args.ligand_model).typed()
     if args.receptor_chains:
         rec = rec.chains(list(args.receptor_chains))
     if args.ligand_chains:
@@ -224,6 +226,12 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--num-out", type=int, default=10)
+    p.add_argument("--receptor-model", type=int, default=1,
+                   help="NMR model of the receptor file to dock "
+                        "(1-based; PDB MODEL records or mmCIF "
+                        "pdbx_PDB_model_num)")
+    p.add_argument("--ligand-model", type=int, default=1,
+                   help="NMR model of the ligand file to dock")
     p.add_argument("--receptor-chains", default="",
                    help="chain letters to keep, e.g. 'AB'")
     p.add_argument("--ligand-chains", default="")

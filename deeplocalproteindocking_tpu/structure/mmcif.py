@@ -8,8 +8,8 @@ Docking Benchmark inputs may arrive in either format (round-1 VERDICT
 the only category the docking pipeline needs — with the same semantics
 as the PDB path:
 
-* ATOM records (HETATM optional), first model only
-  (``pdbx_PDB_model_num``),
+* ATOM records (HETATM optional), NMR model selection by
+  ``pdbx_PDB_model_num`` (first model by default),
 * occupancy-based alternate-location selection via the shared
   ``structure.pdb.select_altlocs`` helper,
 * auth_* identifiers preferred (they match the legacy PDB columns),
@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import shlex
-from typing import Optional
 
 import numpy as np
 
@@ -45,10 +44,14 @@ def _split_cif_line(line: str):
     return line.split()
 
 
-def parse_mmcif_text(text: str, include_hetatm: bool = False) -> Structure:
+def parse_mmcif_text(text: str, include_hetatm: bool = False,
+                     model: int = 1) -> Structure:
+    """Parse ``_atom_site``; ``model`` selects the Nth distinct
+    ``pdbx_PDB_model_num`` in file order (1-based, default first)."""
     lines = text.splitlines()
     names, ress, chains, rids, icds, xyz = [], [], [], [], [], []
     alts, occs = [], []
+    models_seen: list = []
 
     i = 0
     n = len(lines)
@@ -76,7 +79,6 @@ def parse_mmcif_text(text: str, include_hetatm: bool = False) -> Structure:
                         return v
             return default
 
-        first_model: Optional[str] = None
         while j < n:
             raw = lines[j].strip()
             if (not raw or raw.startswith("#") or raw.startswith("_")
@@ -91,11 +93,11 @@ def parse_mmcif_text(text: str, include_hetatm: bool = False) -> Structure:
                 continue
             if rec not in ("ATOM", "HETATM"):
                 continue
-            model = col(row, "pdbx_PDB_model_num", default="1")
-            if first_model is None:
-                first_model = model
-            elif model != first_model:
-                continue  # first model only (NMR multi-model)
+            m = col(row, "pdbx_PDB_model_num", default="1")
+            if m not in models_seen:
+                models_seen.append(m)
+            if models_seen.index(m) + 1 != model:
+                continue  # not the requested NMR model
             try:
                 x = float(col(row, "Cartn_x"))
                 y = float(col(row, "Cartn_y"))
@@ -121,6 +123,10 @@ def parse_mmcif_text(text: str, include_hetatm: bool = False) -> Structure:
             occs.append(occ)
         i = j
 
+    if model > 1 and model > len(models_seen):
+        raise ValueError(
+            f"model {model} requested but the file has only "
+            f"{len(models_seen)} distinct pdbx_PDB_model_num value(s)")
     keep = select_altlocs(names, chains, rids, icds, alts, occs)
     coords = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)[keep]
     atom_names = np.asarray([names[k] for k in keep], dtype="<U4")
@@ -137,16 +143,21 @@ def parse_mmcif_text(text: str, include_hetatm: bool = False) -> Structure:
 
 
 def parse_mmcif(path: str | os.PathLike,
-                include_hetatm: bool = False) -> Structure:
+                include_hetatm: bool = False, model: int = 1) -> Structure:
     with open(path) as f:
-        return parse_mmcif_text(f.read(), include_hetatm=include_hetatm)
+        return parse_mmcif_text(f.read(), include_hetatm=include_hetatm,
+                                model=model)
 
 
 def parse_structure(path: str | os.PathLike,
-                    include_hetatm: bool = False) -> Structure:
-    """Format-dispatching loader: .cif/.mmcif -> mmCIF, else PDB."""
+                    include_hetatm: bool = False,
+                    model: int = 1) -> Structure:
+    """Format-dispatching loader: .cif/.mmcif -> mmCIF, else PDB.
+
+    ``model`` selects the Nth NMR model (1-based) in either format.
+    """
     from deeplocalproteindocking_tpu.structure.pdb import parse_pdb
     p = str(path)
     if p.lower().endswith((".cif", ".mmcif")):
-        return parse_mmcif(p, include_hetatm=include_hetatm)
-    return parse_pdb(p, include_hetatm=include_hetatm)
+        return parse_mmcif(p, include_hetatm=include_hetatm, model=model)
+    return parse_pdb(p, include_hetatm=include_hetatm, model=model)

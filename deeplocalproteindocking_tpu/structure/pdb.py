@@ -128,13 +128,28 @@ def select_altlocs(atom_names, chain_ids, res_ids, icodes, altlocs,
                               kind="stable")]
 
 
-def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
+def parse_pdb_text(text: str, include_hetatm: bool = False,
+                   model: int = 1) -> Structure:
+    """Parse ATOM records; ``model`` selects the Nth NMR model (1-based,
+    counted by MODEL records in file order; default first)."""
     names, ress, chains, rids, icds, xyz = [], [], [], [], [], []
     alts, occs = [], []
+    cur_model = 0      # 0 = no MODEL record yet (single-model file)
+    seen_models = 0
     for line in text.splitlines():
         rec = line[:6]
-        if rec == "ENDMDL":  # first NMR model only
-            break
+        if rec.startswith("MODEL"):
+            seen_models += 1
+            cur_model = seen_models
+            continue
+        if rec == "ENDMDL":
+            # `or 1`: ENDMDL without a MODEL record still closes the
+            # implicit first model (native-parser rule).
+            if (cur_model or 1) >= model:
+                break  # past the requested model: done
+            continue
+        if cur_model != model and not (cur_model == 0 and model == 1):
+            continue
         if rec.startswith("ATOM") or (include_hetatm and rec.startswith("HETATM")):
             parsed = _parse_atom_line(line)
             if parsed is None:
@@ -143,6 +158,12 @@ def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
             names.append(name); ress.append(res); chains.append(chain)
             rids.append(res_id); icds.append(icode); xyz.append((x, y, z))
             alts.append(alt.strip()); occs.append(occ)
+    if model > 1 and model > seen_models:
+        raise ValueError(
+            f"model {model} requested but the file declares only "
+            f"{seen_models} MODEL record(s)"
+            + (" (a file without MODEL records is a single model)"
+               if seen_models == 0 else ""))
     keep = select_altlocs(names, chains, rids, icds, alts, occs)
     coords = np.asarray(xyz, dtype=np.float32).reshape(-1, 3)[keep]
     names = [names[i] for i in keep]
@@ -164,12 +185,15 @@ def parse_pdb_text(text: str, include_hetatm: bool = False) -> Structure:
     )
 
 
-def parse_pdb(path: str | os.PathLike, include_hetatm: bool = False) -> Structure:
-    native = _try_native(path, include_hetatm)
-    if native is not None:
-        return native
+def parse_pdb(path: str | os.PathLike, include_hetatm: bool = False,
+              model: int = 1) -> Structure:
+    if model == 1:  # native fast path handles first-model-only
+        native = _try_native(path, include_hetatm)
+        if native is not None:
+            return native
     with open(path) as f:
-        return parse_pdb_text(f.read(), include_hetatm=include_hetatm)
+        return parse_pdb_text(f.read(), include_hetatm=include_hetatm,
+                              model=model)
 
 
 def write_pdb(path: str | os.PathLike, s: Structure) -> None:

@@ -61,6 +61,36 @@ class TestMMCIF:
         np.testing.assert_allclose(c.coords, p.coords, atol=1e-4)
         assert list(c.types) == list(p.types)
 
+    def test_model_selection(self):
+        import pytest
+        s2 = parse_mmcif_text(CIF, model=2)
+        assert len(s2) == 1
+        np.testing.assert_allclose(s2.coords[0], [0.0, 0.0, 0.0])
+        with pytest.raises(ValueError, match="model 3"):
+            parse_mmcif_text(CIF, model=3)
+
+    def test_pdb_model_selection(self):
+        import pytest
+        multi = ("MODEL        1\n"
+                 "ATOM      1  N   MET A   1      27.340  24.430   2.614  1.00  0.00\n"
+                 "ENDMDL\n"
+                 "MODEL        2\n"
+                 "ATOM      1  N   MET A   1       1.000   2.000   3.000  1.00  0.00\n"
+                 "ENDMDL\n")
+        s1 = parse_pdb_text(multi)                 # default: first model
+        np.testing.assert_allclose(s1.coords[0], [27.34, 24.43, 2.614],
+                                   atol=1e-4)
+        s2 = parse_pdb_text(multi, model=2)
+        np.testing.assert_allclose(s2.coords[0], [1.0, 2.0, 3.0])
+        with pytest.raises(ValueError, match="model 3"):
+            parse_pdb_text(multi, model=3)
+        # Single-model file without MODEL records: model=1 works,
+        # model=2 is an error, not silently empty.
+        s = parse_pdb_text(PDB_EQUIV, model=1)
+        assert len(s) == 2
+        with pytest.raises(ValueError, match="model 2"):
+            parse_pdb_text(PDB_EQUIV, model=2)
+
     def test_dispatch_by_extension(self, tmp_path):
         f = tmp_path / "x.cif"
         f.write_text(CIF)

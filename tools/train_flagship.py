@@ -92,19 +92,29 @@ def main():
           f"train={n_train} wd={cfg.weight_decay}")
 
     trainer = Trainer(cfg)
-    state = trainer.init_state()
     logger = MetricsLogger(os.path.join(ckpt_dir, "train.jsonl"))
-
-    # Baseline = untrained hybrid == shape complementarity: the val
-    # bar every later checkpoint must clear.
-    v1, v10, vb = val_global_hits(state.params, cfg, val_cplx)
-    best = dict(top1=v1, top10=v10, lrmsd=vb, step=0)
-    print(f"step 0 (== shape baseline): val global top1={v1:.3f} "
-          f"top10={v10:.3f} best-lrmsd={vb:.2f}", flush=True)
-    trainer.save(ckpt_dir, state)
     best_dir = os.path.join(ckpt_dir, "best")
-    os.makedirs(best_dir, exist_ok=True)
-    trainer.save(best_dir, state)
+    best_json = os.path.join(ckpt_dir, "best.json")
+
+    try:  # resume an interrupted run from its latest checkpoint
+        state = trainer.restore(ckpt_dir)
+        with open(best_json) as f:
+            best = json.load(f)
+        print(f"resumed at step {int(state.step)} "
+              f"(best so far: {best})", flush=True)
+    except (FileNotFoundError, OSError):
+        state = trainer.init_state()
+        # Baseline = untrained hybrid == shape complementarity: the val
+        # bar every later checkpoint must clear.
+        v1, v10, vb = val_global_hits(state.params, cfg, val_cplx)
+        best = dict(top1=v1, top10=v10, lrmsd=vb, step=0)
+        print(f"step 0 (== shape baseline): val global top1={v1:.3f} "
+              f"top10={v10:.3f} best-lrmsd={vb:.2f}", flush=True)
+        trainer.save(ckpt_dir, state)
+        os.makedirs(best_dir, exist_ok=True)
+        trainer.save(best_dir, state)
+        with open(best_json, "w") as f:
+            json.dump(best, f)
 
     key = state.key
     mined = None
@@ -133,6 +143,8 @@ def main():
                                  -best["lrmsd"]):
                 best = dict(top1=v1, top10=v10, lrmsd=vb, step=step + 1)
                 trainer.save(best_dir, state)
+                with open(best_json, "w") as f:
+                    json.dump(best, f)
                 print(f"  -> new best (saved)", flush=True)
             trainer.save(ckpt_dir, state)
     print(f"done; best val step {best['step']}: top1={best['top1']:.3f}"
