@@ -60,6 +60,9 @@ class DockConfig:
     mined_frac: float = 0.25        # fraction replaced by FFT-mined hard
                                     # negatives when a buffer is supplied
     learning_rate: float = 1e-3
+    lr_decay_steps: int = 0       # >0: cosine-decay learning_rate to
+                                  # 10% over this many steps (stabilizes
+                                  # the mined-negative min-max loop)
     weight_decay: float = 0.0     # AdamW decoupled weight decay
     batch_complexes: int = 2      # complexes per train step
     augment_rotations: bool = True  # joint SO(3) augmentation per sample

@@ -35,6 +35,33 @@ from deeplocalproteindocking_tpu.train.scoring_path import train_lig_grid
 from deeplocalproteindocking_tpu.utils.rmsd import rmsd
 
 
+def merge_mined(old: Dict[str, DecoySet] | None,
+                new: Dict[str, DecoySet], cap: int = 96
+                ) -> Dict[str, DecoySet]:
+    """Persistent negative buffer: accumulate mined poses across rounds.
+
+    Replacing the buffer each mining round lets the model oscillate
+    (whack-a-mole: suppressing the newest false positives re-opens the
+    ones mined earlier — observed as val global top-1 cycling 0.375..0.75
+    on the first flagship run).  Keeping every round's poses (most
+    recent ``cap`` per complex) makes suppression cumulative, the
+    standard persistent-contrastive trick for energy-based ranking.
+    """
+    if old is None:
+        return dict(new)
+    out = dict(old)
+    for k, ds in new.items():
+        o = out.get(k)
+        if o is None:
+            out[k] = ds
+            continue
+        out[k] = DecoySet(
+            rotations=np.concatenate([o.rotations, ds.rotations])[-cap:],
+            shifts=np.concatenate([o.shifts, ds.shifts])[-cap:],
+            lrmsd=np.concatenate([o.lrmsd, ds.lrmsd])[-cap:])
+    return out
+
+
 def mine_hard_negatives(model, params, cfg: DockConfig,
                         complexes: Sequence[Complex],
                         *,

@@ -59,11 +59,13 @@ class Trainer:
         self.model = ScoringModel(features=config.rep_features,
                                   kernel=config.rep_kernel,
                                   shape_prior=config.shape_prior)
+        lr = (optax.cosine_decay_schedule(
+                  config.learning_rate, config.lr_decay_steps, alpha=0.1)
+              if config.lr_decay_steps > 0 else config.learning_rate)
         self.optimizer = (
-            optax.adamw(config.learning_rate,
-                        weight_decay=config.weight_decay)
+            optax.adamw(lr, weight_decay=config.weight_decay)
             if config.weight_decay > 0.0
-            else optax.adam(config.learning_rate))
+            else optax.adam(lr))
         self._step_fn = jax.jit(self._train_step)
 
     # ---- setup ----

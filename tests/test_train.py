@@ -154,6 +154,39 @@ class TestAugmentation:
 
 
 class TestGlobalDecoysAndMining:
+    def test_merge_mined_accumulates_and_caps(self):
+        from deeplocalproteindocking_tpu.train.decoys import DecoySet
+        from deeplocalproteindocking_tpu.train.mining import merge_mined
+
+        def ds(n, tag):
+            return DecoySet(
+                rotations=np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)),
+                shifts=np.full((n, 3), tag, np.float32),
+                lrmsd=np.full((n,), tag, np.float32))
+
+        buf = merge_mined(None, {"a": ds(4, 1.0)})
+        buf = merge_mined(buf, {"a": ds(4, 2.0), "b": ds(2, 3.0)})
+        assert len(buf["a"].lrmsd) == 8          # accumulated, not replaced
+        assert set(np.unique(buf["a"].lrmsd)) == {1.0, 2.0}
+        assert len(buf["b"].lrmsd) == 2
+        buf = merge_mined(buf, {"a": ds(4, 4.0)}, cap=6)
+        assert len(buf["a"].lrmsd) == 6          # capped, most recent kept
+        assert buf["a"].lrmsd[-1] == 4.0 and 1.0 not in buf["a"].lrmsd[2:]
+
+    def test_lr_decay_schedule_in_trainer(self):
+        import optax
+        from deeplocalproteindocking_tpu.config import DockConfig
+        from deeplocalproteindocking_tpu.train.trainer import Trainer
+        cfg = DockConfig(grid_size=16, rep_features=(4,), num_decoys=4,
+                         batch_complexes=1, learning_rate=1e-3,
+                         lr_decay_steps=100, weight_decay=1e-4)
+        t = Trainer(cfg)
+        # The optimizer carries the cosine schedule: its hyperparams
+        # at step 100 decay to alpha=10% of the base lr.
+        sched = optax.cosine_decay_schedule(1e-3, 100, alpha=0.1)
+        assert float(sched(100)) == pytest.approx(1e-4)
+        assert t.optimizer is not None  # built without error
+
     def test_global_decoys_cover_so3_and_box(self):
         import jax
         from deeplocalproteindocking_tpu.train.decoys import (

@@ -37,11 +37,22 @@ from deeplocalproteindocking_tpu.pipeline import DockingPipeline
 from deeplocalproteindocking_tpu.train import Trainer
 from deeplocalproteindocking_tpu.train.data_gen import (
     fit_lig_grid, make_training_batch)
-from deeplocalproteindocking_tpu.train.mining import mine_hard_negatives
+from deeplocalproteindocking_tpu.train.mining import (
+    merge_mined, mine_hard_negatives)
 from deeplocalproteindocking_tpu.utils.logging import MetricsLogger
 
 
-def make_complexes(seed0, n):
+def make_complexes(seed0, n, widen=False):
+    """Synthetic complexes; ``widen=True`` varies sizes over a 9x5 grid
+    (receptors 12..20, ligands 6..10 residues) — the round-2 diagnostic
+    showed 48 complexes x 15 size combos improve TRAIN-global top-1
+    (0.438 -> 0.562) without transferring to val: a data-diversity gap,
+    not an objective failure."""
+    if widen:
+        return [synthetic_complex(seed=seed0 + s,
+                                  n_res_rec=12 + s % 9,
+                                  n_res_lig=6 + (s // 9) % 5)
+                for s in range(n)]
     return [synthetic_complex(seed=seed0 + s, n_res_rec=14 + s % 5,
                               n_res_lig=7 + s % 3) for s in range(n)]
 
@@ -70,22 +81,28 @@ def main():
     grid = int(os.environ.get("TF_GRID", 64))
     mine_every = int(os.environ.get("TF_MINE_EVERY", 50))
     mine_rots = int(os.environ.get("TF_NROT_MINE", 192))
-    n_train = int(os.environ.get("TF_SEEDS", 48))
+    n_train = int(os.environ.get("TF_SEEDS", 192))
+    seed0 = int(os.environ.get("TF_SEED0", 200))  # disjoint from val
+                                                  # (50..) and held-out
+                                                  # report seeds (100..)
+    mine_chunk = int(os.environ.get("TF_MINE_CHUNK", 48))
     val_every = int(os.environ.get("TF_VAL_EVERY", 100))
+    val_nrot = int(os.environ.get("TF_VAL_NROT", 256))
+    n_val = int(os.environ.get("TF_VAL_COMPLEXES", 16))
 
     cfg = DockConfig(
         grid_size=grid, resolution=1.25, rep_features=(32, 14),
         shape_prior=True,   # 14 learned + 2 prior channels = 16 total
                             # (keeps the fused kernel's C=16 tiling)
         num_decoys=24, batch_complexes=2, learning_rate=3e-4,
-        weight_decay=1e-4,
+        lr_decay_steps=steps, weight_decay=1e-4,
         near_native_rmsd=4.0, hinge_margin=20.0,
         decoy_max_angle_deg=50.0, decoy_max_shift=8.0,
-        decoy_global_frac=0.35, mined_frac=0.25,
+        decoy_global_frac=0.35, mined_frac=1 / 3,
         rotation_chunk=16, augment_rotations=True)
 
-    complexes = make_complexes(0, n_train)
-    val_cplx = make_complexes(50, 8)
+    complexes = make_complexes(seed0, n_train, widen=True)
+    val_cplx = make_complexes(50, n_val, widen=True)
     cfg = fit_lig_grid(complexes, cfg)
     print(f"config: grid={cfg.grid_size} lig_grid={cfg.lig_grid_size} "
           f"decoys={cfg.num_decoys} global_frac={cfg.decoy_global_frac} "
@@ -97,6 +114,14 @@ def main():
     best_json = os.path.join(ckpt_dir, "best.json")
 
     try:  # resume an interrupted run from its latest checkpoint
+        cfg_path = os.path.join(ckpt_dir, "config.json")
+        if os.path.exists(cfg_path):
+            # The optimizer pytree depends on the config (e.g. a cosine
+            # schedule keyed to the original total steps), so restore
+            # with the run's SAVED config, not this invocation's.
+            with open(cfg_path) as f:
+                cfg = DockConfig.from_json(f.read())
+            trainer = Trainer(cfg)
         state = trainer.restore(ckpt_dir)
         with open(best_json) as f:
             best = json.load(f)
@@ -106,7 +131,7 @@ def main():
         state = trainer.init_state()
         # Baseline = untrained hybrid == shape complementarity: the val
         # bar every later checkpoint must clear.
-        v1, v10, vb = val_global_hits(state.params, cfg, val_cplx)
+        v1, v10, vb = val_global_hits(state.params, cfg, val_cplx, n_rot=val_nrot)
         best = dict(top1=v1, top10=v10, lrmsd=vb, step=0)
         print(f"step 0 (== shape baseline): val global top1={v1:.3f} "
               f"top10={v10:.3f} best-lrmsd={vb:.2f}", flush=True)
@@ -121,9 +146,22 @@ def main():
     t0 = time.perf_counter()
     for step in range(int(state.step), steps):
         if mine_every and step % mine_every == 0 and step > 0:
-            mined = mine_hard_negatives(
-                trainer.model, state.params, cfg, complexes,
+            # Rotate through the train set in chunks so each mining
+            # round stays cheap; the persistent buffer accumulates
+            # coverage across rounds.
+            r = (step // mine_every - 1) * mine_chunk
+            sub = [complexes[(r + i) % len(complexes)]
+                   for i in range(min(mine_chunk, len(complexes)))]
+            fresh = mine_hard_negatives(
+                trainer.model, state.params, cfg, sub,
                 n_rotations=mine_rots, top_k=24)
+            mined = merge_mined(mined, fresh)
+            # Free train-global proxy: best mined pose per complex is
+            # the current model's global rank-1 neighborhood.
+            t1 = float(np.mean([float(np.min(d.lrmsd)) < 4.0
+                                for d in fresh.values()]))
+            logger.log("mine", step=step, train_top24_hit=t1,
+                       buffer=sum(len(d.lrmsd) for d in mined.values()))
         key, k_batch = jax.random.split(key)
         batch = make_training_batch(k_batch, complexes, cfg, mined=mined)
         state, metrics = trainer.train_step(state, batch)
@@ -132,7 +170,7 @@ def main():
         logger.log("train_step", step=step, loss=loss,
                    ranking_accuracy=acc)
         if (step + 1) % val_every == 0 or step + 1 == steps:
-            v1, v10, vb = val_global_hits(state.params, cfg, val_cplx)
+            v1, v10, vb = val_global_hits(state.params, cfg, val_cplx, n_rot=val_nrot)
             logger.log("val", step=step + 1, top1=v1, top10=v10,
                        best_lrmsd=vb)
             print(f"step {step + 1}: loss={loss:.3f} acc={acc:.3f} "
@@ -153,7 +191,8 @@ def main():
         json.dump(dict(steps=steps, grid=grid, mine_every=mine_every,
                        mine_rotations=mine_rots, n_train=n_train,
                        best_val=best,
-                       curriculum="hybrid+local+global+mined+valsel"),
+                       curriculum="hybrid+local+global+persistent-mined"
+                                  "+cosine-lr+valsel"),
                   f, indent=2)
 
 
