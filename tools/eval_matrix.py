@@ -31,7 +31,16 @@ from deeplocalproteindocking_tpu.pipeline import DockingPipeline
 from deeplocalproteindocking_tpu.train import Trainer
 
 
-def heldout_complexes(n):
+def heldout_complexes(n, widen=False):
+    """Held-out report complexes (seeds 100+, disjoint from training
+    seeds 200+ and validation seeds 50+).  ``widen`` draws sizes from
+    the same 9x5 (receptor 12..20, ligand 6..10 residue) grid as
+    training/validation — the harder, size-diverse benchmark."""
+    if widen:
+        return [synthetic_complex(seed=100 + s,
+                                  n_res_rec=12 + s % 9,
+                                  n_res_lig=6 + (s // 9) % 5)
+                for s in range(n)]
     return [synthetic_complex(seed=100 + s, n_res_rec=14 + s % 5,
                               n_res_lig=7 + s % 3) for s in range(n)]
 
@@ -70,7 +79,8 @@ def main():
     n_cplx = int(os.environ.get("EM_COMPLEXES", 8))
     modes = os.environ.get("EM_MODES", "global,local").split(",")
 
-    complexes = heldout_complexes(n_cplx)
+    widen = os.environ.get("EM_WIDEN", "0") == "1"
+    complexes = heldout_complexes(n_cplx, widen=widen)
     results = {}
 
     for mode in modes:
@@ -93,9 +103,9 @@ def main():
         # geometry overridden to the eval protocol).
         with open(os.path.join(ckpt, "config.json")) as f:
             tcfg = DockConfig.from_json(f.read())
-        lcfg = tcfg.replace(compute_dtype="bfloat16",
-                            dft_dtype="bfloat16", lig_grid_size=None,
-                            **base)
+        dt = os.environ.get("EM_DTYPE", "bfloat16")
+        lcfg = tcfg.replace(compute_dtype=dt, dft_dtype=dt,
+                            lig_grid_size=None, **base)
         trainer = Trainer(tcfg)
         state = trainer.restore(ckpt)
         lpipe = DockingPipeline(config=lcfg)
@@ -106,7 +116,7 @@ def main():
               results[f"learned_{mode}"]["top10"], flush=True)
 
     results["protocol"] = dict(n_rotations=n_rot, grid=grid,
-                               n_complexes=n_cplx,
+                               n_complexes=n_cplx, size_diverse=widen,
                                heldout_seeds=[100 + s
                                               for s in range(n_cplx)])
     with open(out_path, "w") as f:
