@@ -156,6 +156,45 @@ class TestSplits:
             assert set(sp[n]) <= set(sp3[n])
 
 
+class TestUnboundProtocol:
+    """synthetic_complex(unbound_rmsd=...) — the DB-style unbound mode."""
+
+    def test_deformation_rmsd_and_determinism(self):
+        from deeplocalproteindocking_tpu.data.benchmark import (
+            synthetic_complex)
+        b = synthetic_complex(seed=3, n_res_rec=14, n_res_lig=7)
+        u = synthetic_complex(seed=3, n_res_rec=14, n_res_lig=7,
+                              unbound_rmsd=1.5)
+        u2 = synthetic_complex(seed=3, n_res_rec=14, n_res_lig=7,
+                               unbound_rmsd=1.5)
+        assert np.array_equal(u.receptor.coords, u2.receptor.coords)
+        assert np.array_equal(u.ligand.coords, u2.ligand.coords)
+        for bs, us in ((b.receptor, u.receptor), (b.ligand, u.ligand)):
+            assert len(bs) == len(us)
+            rms = float(np.sqrt(
+                ((bs.coords - us.coords) ** 2).sum(1).mean()))
+            assert abs(rms - 1.5) < 1e-4
+            # In-place deformation: no net translation, so the native
+            # placement (and its LRMSD-0 grading) is preserved.
+            assert np.abs(bs.coords.mean(0)
+                          - us.coords.mean(0)).max() < 1e-4
+
+    def test_deformation_is_smooth(self):
+        # A coherent low-frequency field: neighboring atoms move
+        # together, so relative displacements between close atom pairs
+        # are much smaller than the absolute RMSD.
+        from deeplocalproteindocking_tpu.data.benchmark import (
+            synthetic_complex)
+        b = synthetic_complex(seed=11, n_res_rec=16, n_res_lig=8)
+        u = synthetic_complex(seed=11, n_res_rec=16, n_res_lig=8,
+                              unbound_rmsd=1.5)
+        c, d = b.receptor.coords, u.receptor.coords - b.receptor.coords
+        dist = np.linalg.norm(c[:, None] - c[None], axis=-1)
+        i, j = np.nonzero((dist > 0) & (dist < 3.0))
+        rel = np.linalg.norm(d[i] - d[j], axis=1).mean()
+        assert rel < 0.5  # vs 1.5 A absolute RMS (i.i.d. noise: ~2.1)
+
+
 class TestDeviceArrays:
     def test_structure_to_device_padding_and_overflow(self):
         from deeplocalproteindocking_tpu.data.benchmark import (

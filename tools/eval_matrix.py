@@ -31,18 +31,22 @@ from deeplocalproteindocking_tpu.pipeline import DockingPipeline
 from deeplocalproteindocking_tpu.train import Trainer
 
 
-def heldout_complexes(n, widen=False):
+def heldout_complexes(n, widen=False, seed0=100, unbound=0.0):
     """Held-out report complexes (seeds 100+, disjoint from training
     seeds 200+ and validation seeds 50+).  ``widen`` draws sizes from
     the same 9x5 (receptor 12..20, ligand 6..10 residue) grid as
-    training/validation — the harder, size-diverse benchmark."""
+    training/validation — the harder, size-diverse benchmark.
+    ``seed0`` selects an alternative disjoint band (e.g. a large
+    internal dev-test set) without touching the report seeds."""
     if widen:
-        return [synthetic_complex(seed=100 + s,
+        return [synthetic_complex(seed=seed0 + s,
                                   n_res_rec=12 + s % 9,
-                                  n_res_lig=6 + (s // 9) % 5)
+                                  n_res_lig=6 + (s // 9) % 5,
+                                  unbound_rmsd=unbound)
                 for s in range(n)]
-    return [synthetic_complex(seed=100 + s, n_res_rec=14 + s % 5,
-                              n_res_lig=7 + s % 3) for s in range(n)]
+    return [synthetic_complex(seed=seed0 + s, n_res_rec=14 + s % 5,
+                              n_res_lig=7 + s % 3,
+                              unbound_rmsd=unbound) for s in range(n)]
 
 
 def eval_mode(pipe, complexes, mode, cfg):
@@ -80,7 +84,10 @@ def main():
     modes = os.environ.get("EM_MODES", "global,local").split(",")
 
     widen = os.environ.get("EM_WIDEN", "0") == "1"
-    complexes = heldout_complexes(n_cplx, widen=widen)
+    seed0 = int(os.environ.get("EM_SEED0", 100))
+    unbound = float(os.environ.get("EM_UNBOUND", 0.0))
+    complexes = heldout_complexes(n_cplx, widen=widen, seed0=seed0,
+                                  unbound=unbound)
     results = {}
 
     for mode in modes:
@@ -117,7 +124,8 @@ def main():
 
     results["protocol"] = dict(n_rotations=n_rot, grid=grid,
                                n_complexes=n_cplx, size_diverse=widen,
-                               heldout_seeds=[100 + s
+                               unbound_rmsd=unbound,
+                               heldout_seeds=[seed0 + s
                                               for s in range(n_cplx)])
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
