@@ -45,6 +45,10 @@ class DockConfig:
     dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
     topk_impl: str = "exact"      # "approx" = lax.approx_max_k (faster)
     top_k: int = 32               # poses kept per complex
+    atom_bucket: int = 64         # pad atom counts to a multiple so
+                                  # size-diverse benchmarks share
+                                  # compiled sweeps (masked padding;
+                                  # 0 = exact-size, one trace/complex)
     local_cone_deg: Optional[float] = None  # local docking: cone half-angle
     nms_rmsd: float = 5.0         # greedy clustering suppression radius (A)
 

@@ -134,7 +134,8 @@ class DockingPipeline:
         # scatter-add variant compiles pathologically slowly at 128^3 on
         # the TPU AOT compiler and is kept as the test oracle only.
         cfg = self.config
-        coords, types, mask = structure_to_device(s, max_atoms)
+        coords, types, mask = structure_to_device(
+            s, max_atoms, bucket=cfg.atom_bucket or None)
         return separable_splat(
             coords, types, mask, grid_size=cfg.grid_size,
             resolution=cfg.resolution, sigma=cfg.sigma,
@@ -218,7 +219,8 @@ class DockingPipeline:
             from deeplocalproteindocking_tpu.sweep.resplat import (
                 auto_ligand_grid, dock_sweep_resplat)
             H = receptor_transform(rep_rec, coupling)
-            lc, lt, lm = structure_to_device(lig_c)
+            lc, lt, lm = structure_to_device(
+                lig_c, bucket=cfg.atom_bucket or None)
             lig_grid = cfg.lig_grid_size or auto_ligand_grid(
                 lig_c.typed().coords, cfg.resolution, cfg.sigma,
                 self._receptive_field(), cfg.grid_size)
@@ -283,7 +285,8 @@ class DockingPipeline:
         lig_vol = self.voxelize(lig_c)
         rep_rec, _, coupling = self.representations(rec_vol, lig_vol)
         H = receptor_transform(rep_rec, coupling)
-        lc, lt, lm = structure_to_device(lig_c)
+        lc, lt, lm = structure_to_device(
+                lig_c, bucket=cfg.atom_bucket or None)
         lig_grid = cfg.lig_grid_size or auto_ligand_grid(
             lig_c.typed().coords, cfg.resolution, cfg.sigma,
             self._receptive_field(), cfg.grid_size)
