@@ -71,6 +71,25 @@ class TestEndToEnd:
         graded = grade_poses(cplx, poses)
         assert any(g["capri"] != "incorrect" for g in graded), graded
 
+    def test_unbound_protocol_global_search(self):
+        # The DB-style UNBOUND protocol (synthetic_complex with
+        # unbound_rmsd > 0): conformers deformed 1.0 A in place dock
+        # against each other, graded against the same native placement.
+        # Shape complementarity is no longer an oracle here, but a
+        # global sweep must still surface a near-native pose in top-K.
+        from deeplocalproteindocking_tpu.evaluation import grade_poses
+        from deeplocalproteindocking_tpu.structure.so3 import (
+            super_fibonacci_rotations)
+        cplx = synthetic_complex(seed=5, n_res_rec=14, n_res_lig=7,
+                                 unbound_rmsd=1.0)
+        cfg = small_config(top_k=32)
+        pipe = DockingPipeline(config=cfg)
+        rots = super_fibonacci_rotations(256)
+        poses = pipe.dock_complex(cplx, rotations=rots, cluster=False)
+        graded = grade_poses(cplx, poses)
+        assert any(g["capri"] != "incorrect" for g in graded), [
+            g["lrmsd"] for g in graded[:5]]
+
     def test_learned_mode_runs_and_ranks(self):
         cplx = synthetic_complex(seed=1, n_res_rec=10, n_res_lig=5)
         cfg = small_config(grid_size=32, num_rotations=8, top_k=8)
