@@ -101,6 +101,8 @@ def cmd_dock(args):
         lig = lig.chains(list(args.ligand_chains))
     with maybe_trace(args.profile):
         poses = pipe.dock(rec, lig)
+        if args.rescore_top:
+            poses = pipe.rescore(rec, lig, poses, top=args.rescore_top)
         if args.refine_steps:
             poses = pipe.refine(rec, lig, poses,
                                 steps=args.refine_steps)
@@ -237,6 +239,9 @@ def main(argv=None):
     p.add_argument("--ligand-chains", default="")
     p.add_argument("--refine-steps", type=int, default=0,
                    help="continuous pose refinement iterations")
+    p.add_argument("--rescore-top", type=int, default=0,
+                   help="hierarchical rescoring: dense local cone "
+                        "sweep around each of the top-N cluster heads")
     _add_config_args(p)
     p.set_defaults(fn=cmd_dock)
 

@@ -180,20 +180,11 @@ class DockingPipeline:
         rf = len(cfg.rep_features) * (cfg.rep_kernel // 2) + 1
         return max(rf, 3) if cfg.shape_prior else rf
 
-    # ---- the full stack (SURVEY.md §3.1) ----
-    def dock(self, rec: Structure, lig: Structure,
-             rotations: Optional[jax.Array] = None,
-             cluster: bool = True,
-             translation_center: Optional[np.ndarray] = None,
-             max_shift: Optional[float] = None) -> PoseSet:
-        """Dock centered structures; returns ranked (clustered) poses.
-
-        Local docking (the reference's headline mode): pass a rotation
-        set from ``rotation_set(native_R)`` plus ``translation_center``
-        (signed voxel shift of the native pose) and ``max_shift``
-        (Angstrom) to restrict the translational search around it.
-        """
-        cfg = self.config
+    def _prepare(self, rec: Structure, lig: Structure):
+        """Voxelize + represent both structures once (the CNN half of
+        the stack); reusable across several sweeps of the same pair
+        (``dock(prep=...)``) — e.g. the rescore stage's per-head cone
+        sweeps."""
         rec_c = rec.centered()
         lig_c = lig.centered()
         if len(lig_c.typed()) == 0:
@@ -208,7 +199,28 @@ class DockingPipeline:
                 "format.")
         rec_vol = self.voxelize(rec_c)
         lig_vol = self.voxelize(lig_c)
-        rep_rec, rep_lig, coupling = self.representations(rec_vol, lig_vol)
+        rep_rec, rep_lig, coupling = self.representations(rec_vol,
+                                                          lig_vol)
+        return rec_c, lig_c, rep_rec, rep_lig, coupling
+
+    # ---- the full stack (SURVEY.md §3.1) ----
+    def dock(self, rec: Structure, lig: Structure,
+             rotations: Optional[jax.Array] = None,
+             cluster: bool = True,
+             translation_center: Optional[np.ndarray] = None,
+             max_shift: Optional[float] = None,
+             prep=None) -> PoseSet:
+        """Dock centered structures; returns ranked (clustered) poses.
+
+        Local docking (the reference's headline mode): pass a rotation
+        set from ``rotation_set(native_R)`` plus ``translation_center``
+        (signed voxel shift of the native pose) and ``max_shift``
+        (Angstrom) to restrict the translational search around it.
+        """
+        cfg = self.config
+        if prep is None:
+            prep = self._prepare(rec, lig)
+        rec_c, lig_c, rep_rec, rep_lig, coupling = prep
         if rotations is None:
             rotations = self.rotation_set()
         score_mask = dock_score_mask(cfg, lig_c, translation_center,
@@ -265,6 +277,51 @@ class DockingPipeline:
 
     def dock_complex(self, cplx: Complex, **kw) -> PoseSet:
         return self.dock(cplx.receptor, cplx.ligand, **kw)
+
+    # ---- hierarchical focused rescoring ----
+    def rescore(self, rec: Structure, lig: Structure, poses: PoseSet,
+                top: int = 16, nrot: int = 48,
+                cone_deg: float = 15.0, shift_vox: int = 3) -> PoseSet:
+        """Re-rank top cluster heads by a dense local cone sweep each.
+
+        A coarse global rotation set (covering radius ~10-15 deg at
+        ~1.5k rotations) undersamples every pose's rotational basin, so
+        coarse scores are noisy LOWER bounds on each basin's true max —
+        and ranking by noisy lower bounds costs top-1 hits.  For each
+        of the ``top`` heads this sweeps ``nrot`` rotations in a
+        ``cone_deg`` cone around the head's rotation with translations
+        confined to ``+-shift_vox`` voxels of its shift, then re-ranks
+        heads by their recovered basin maxima.  All head sweeps share
+        one compiled graph (identical shapes); the CNN/voxelize half
+        runs once via ``_prepare``.  The reference reaches the same
+        effect offline by re-docking candidates locally
+        [U: DeepLocalProteinDocking local protocol]; here it is one
+        pipeline stage.
+        """
+        cfg = self.config
+        n = min(top, len(poses))
+        prep = self._prepare(rec, lig)
+        picks = []
+        for i in range(n):
+            base = jnp.asarray(poses.rotations[i])
+            cone = local_rotations(base, np.deg2rad(cone_deg), nrot)
+            # Keep the head itself in the set: the rescored score is
+            # then >= the coarse score by construction.
+            rots = jnp.concatenate([base[None], cone[:-1]], axis=0)
+            res = self.dock(rec, lig, rotations=rots, cluster=False,
+                            translation_center=poses.shifts[i],
+                            max_shift=shift_vox * cfg.resolution,
+                            prep=prep)
+            picks.append((float(res.scores[0]), res.rotations[0],
+                          res.translations[0], res.shifts[0]))
+        order = np.argsort([-p[0] for p in picks])
+        return PoseSet(
+            scores=np.asarray([picks[j][0] for j in order], np.float32),
+            rotations=np.stack([picks[j][1] for j in order]),
+            translations=np.stack([picks[j][2] for j in order]),
+            rot_idx=np.full(n, -1, np.int32),   # not from the base set
+            shifts=np.stack([picks[j][3] for j in order]),
+        )
 
     # ---- continuous refinement (sweep/refine.py; no reference analog) ----
     def refine(self, rec: Structure, lig: Structure, poses: PoseSet,

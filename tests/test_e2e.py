@@ -90,6 +90,32 @@ class TestEndToEnd:
         assert any(g["capri"] != "incorrect" for g in graded), [
             g["lrmsd"] for g in graded[:5]]
 
+    def test_rescore_recovers_basin_maxima(self):
+        # Hierarchical focused rescoring: a DELIBERATELY coarse global
+        # set (64 rotations, covering radius ~30 deg) under-scores
+        # every basin; rescoring the cluster heads with a dense local
+        # cone must (a) never lower a head's score (the head stays in
+        # its own cone set), and (b) improve the best grading.
+        from deeplocalproteindocking_tpu.evaluation import grade_poses
+        from deeplocalproteindocking_tpu.structure.so3 import (
+            super_fibonacci_rotations)
+        cplx = synthetic_complex(seed=2, n_res_rec=14, n_res_lig=7)
+        cfg = small_config(top_k=16)
+        pipe = DockingPipeline(config=cfg)
+        poses = pipe.dock_complex(
+            cplx, rotations=super_fibonacci_rotations(64))
+        res = pipe.rescore(cplx.receptor, cplx.ligand, poses,
+                           top=4, nrot=24, cone_deg=20.0)
+        assert len(res) == 4
+        assert np.all(np.diff(res.scores) <= 1e-5)
+        # each head's rescored score >= its coarse score
+        coarse_best = float(poses.scores[0])
+        assert float(res.scores[0]) >= coarse_best - 1e-4
+        g_coarse = grade_poses(cplx, poses)
+        g_re = grade_poses(cplx, res)
+        best = lambda g: min(x["lrmsd"] for x in g)
+        assert best(g_re) <= best(g_coarse) + 1.0  # not degraded
+
     def test_learned_mode_runs_and_ranks(self):
         cplx = synthetic_complex(seed=1, n_res_rec=10, n_res_lig=5)
         cfg = small_config(grid_size=32, num_rotations=8, top_k=8)

@@ -8,7 +8,9 @@ evaluation).
 
 Usage: python tools/eval_matrix.py [ckpt_dir] [out_json]
 Env: EM_NROT (global rotations, default 1536), EM_GRID (default 64),
-     EM_COMPLEXES (default 8), EM_MODES ("global,local").
+     EM_COMPLEXES (default 8), EM_MODES ("global,local"), EM_WIDEN,
+     EM_SEED0, EM_UNBOUND (deformation RMSD), EM_DTYPE,
+     EM_RESCORE (top-N hierarchical rescoring in global mode).
 """
 from __future__ import annotations
 
@@ -49,7 +51,7 @@ def heldout_complexes(n, widen=False, seed0=100, unbound=0.0):
                               unbound_rmsd=unbound) for s in range(n)]
 
 
-def eval_mode(pipe, complexes, mode, cfg):
+def eval_mode(pipe, complexes, mode, cfg, rescore_top=0):
     from deeplocalproteindocking_tpu.train.data_gen import (
         native_voxel_shift)
     hits1 = hits10 = 0
@@ -62,6 +64,9 @@ def eval_mode(pipe, complexes, mode, cfg):
                 c, cfg.resolution)
             kw["max_shift"] = cfg.decoy_max_shift
         poses = pipe.dock_complex(c, **kw)
+        if rescore_top and mode == "global":
+            poses = pipe.rescore(c.receptor, c.ligand, poses,
+                                 top=rescore_top)
         graded = grade_poses(c, poses)
         h1 = bool(graded and graded[0]["capri"] != "incorrect")
         h10 = any(g["capri"] != "incorrect" for g in graded[:10])
@@ -84,6 +89,7 @@ def main():
     modes = os.environ.get("EM_MODES", "global,local").split(",")
 
     widen = os.environ.get("EM_WIDEN", "0") == "1"
+    rescore_top = int(os.environ.get("EM_RESCORE", 0))
     seed0 = int(os.environ.get("EM_SEED0", 100))
     unbound = float(os.environ.get("EM_UNBOUND", 0.0))
     complexes = heldout_complexes(n_cplx, widen=widen, seed0=seed0,
@@ -102,7 +108,8 @@ def main():
         shape_cfg = DockConfig(rep_features=(8,), **base)
         shape_pipe = DockingPipeline(config=shape_cfg)
         results[f"shape_{mode}"] = eval_mode(shape_pipe, complexes,
-                                             mode, shape_cfg)
+                                             mode, shape_cfg,
+                                             rescore_top=rescore_top)
         print(mode, "shape:", results[f"shape_{mode}"]["top1"],
               results[f"shape_{mode}"]["top10"], flush=True)
 
@@ -118,7 +125,8 @@ def main():
         lpipe = DockingPipeline(config=lcfg)
         lpipe.params = state.params
         results[f"learned_{mode}"] = eval_mode(lpipe, complexes, mode,
-                                               lcfg)
+                                               lcfg,
+                                               rescore_top=rescore_top)
         print(mode, "learned:", results[f"learned_{mode}"]["top1"],
               results[f"learned_{mode}"]["top10"], flush=True)
 
