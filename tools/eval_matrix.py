@@ -130,6 +130,36 @@ def main():
         print(mode, "learned:", results[f"learned_{mode}"]["top1"],
               results[f"learned_{mode}"]["top10"], flush=True)
 
+        # Two-stage (the reference's own architecture: global candidates
+        # from the cheap scorer, learned model ranks them): shape sweep
+        # -> learned dense-cone rescore of the top heads.
+        if (os.environ.get("EM_RERANK", "0") == "1"
+                and mode == "global"):
+            hits1 = hits10 = 0
+            rows = []
+            for c in complexes:
+                poses = shape_pipe.dock_complex(c)
+                top = lpipe.rescore(c.receptor, c.ligand, poses,
+                                    top=16)
+                graded = grade_poses(c, top)
+                h1 = bool(graded
+                          and graded[0]["capri"] != "incorrect")
+                h10 = any(g["capri"] != "incorrect"
+                          for g in graded[:10])
+                hits1 += h1
+                hits10 += h10
+                rows.append(dict(
+                    name=c.name, hit_top1=h1, hit_top10=h10,
+                    best_lrmsd=min((g["lrmsd"] for g in graded),
+                                   default=None)))
+            results["learned_rerank_global"] = dict(
+                top1=hits1 / len(complexes),
+                top10=hits10 / len(complexes), complexes=rows)
+            print("global learned_rerank:",
+                  results["learned_rerank_global"]["top1"],
+                  results["learned_rerank_global"]["top10"],
+                  flush=True)
+
     results["protocol"] = dict(n_rotations=n_rot, grid=grid,
                                n_complexes=n_cplx, size_diverse=widen,
                                unbound_rmsd=unbound,
