@@ -157,8 +157,10 @@ def cmd_evaluate(args):
                                             group_size=args.batch_size,
                                             refine_steps=args.refine_steps)
         else:
-            summary = run_benchmark(pipe, complexes, args.out,
-                                    refine_steps=args.refine_steps)
+            summary = run_benchmark(
+                pipe, complexes, args.out,
+                refine_steps=args.refine_steps,
+                rescore_top=getattr(args, "rescore_top", 0))
     print(json.dumps(summary, indent=2))
 
 
@@ -258,6 +260,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--refine-steps", type=int, default=0)
+    p.add_argument("--rescore-top", type=int, default=0,
+                   help="hierarchical rescoring of the top-N cluster "
+                        "heads before grading (sequential mode only)")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1: dock complex groups as one program "
                         "(throughput mode, configs[4])")

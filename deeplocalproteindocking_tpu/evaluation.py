@@ -93,7 +93,8 @@ def _dense_res_ids(s) -> np.ndarray:
 
 
 def evaluate_complex(pipeline: DockingPipeline, cplx: Complex,
-                     refine_steps: int = 0) -> Dict:
+                     refine_steps: int = 0,
+                     rescore_top: int = 0) -> Dict:
     """Dock + grade one complex.
 
     When ``config.local_cone_deg`` is set this runs the reference's
@@ -112,6 +113,9 @@ def evaluate_complex(pipeline: DockingPipeline, cplx: Complex,
         kw["translation_center"] = native_voxel_shift(cplx, cfg.resolution)
         kw["max_shift"] = cfg.decoy_max_shift
     poses = pipeline.dock_complex(cplx, **kw)
+    if rescore_top:
+        poses = pipeline.rescore(cplx.receptor, cplx.ligand, poses,
+                                 top=rescore_top)
     if refine_steps:
         poses = pipeline.refine(cplx.receptor, cplx.ligand, poses,
                                 steps=refine_steps)
@@ -131,7 +135,8 @@ def run_benchmark(pipeline: DockingPipeline,
                   complexes: Sequence[Complex],
                   out_dir: str,
                   logger: Optional[MetricsLogger] = None,
-                  refine_steps: int = 0) -> Dict:
+                  refine_steps: int = 0,
+                  rescore_top: int = 0) -> Dict:
     """Evaluate many complexes with per-complex resume; aggregate hits."""
     os.makedirs(out_dir, exist_ok=True)
     logger = logger or MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
@@ -144,7 +149,8 @@ def run_benchmark(pipeline: DockingPipeline,
             logger.log("complex_cached", name=cplx.name)
         else:
             res = evaluate_complex(pipeline, cplx,
-                                   refine_steps=refine_steps)
+                                   refine_steps=refine_steps,
+                                   rescore_top=rescore_top)
             with open(path + ".tmp", "w") as f:
                 json.dump(res, f)
             os.replace(path + ".tmp", path)  # atomic completion marker
