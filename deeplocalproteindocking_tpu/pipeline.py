@@ -281,7 +281,8 @@ class DockingPipeline:
     # ---- hierarchical focused rescoring ----
     def rescore(self, rec: Structure, lig: Structure, poses: PoseSet,
                 top: int = 16, nrot: int = 48,
-                cone_deg: float = 15.0, shift_vox: int = 3) -> PoseSet:
+                cone_deg: float = 15.0, shift_vox: int = 3,
+                aggregate: str = "max", agg_top: int = 8) -> PoseSet:
         """Re-rank top cluster heads by a dense local cone sweep each.
 
         A coarse global rotation set (covering radius ~10-15 deg at
@@ -297,6 +298,12 @@ class DockingPipeline:
         effect offline by re-docking candidates locally
         [U: DeepLocalProteinDocking local protocol]; here it is one
         pipeline stage.
+
+        ``aggregate="topmean"`` ranks heads by the mean of their best
+        ``agg_top`` scores within the cone instead of the single max —
+        a funnel-width signal (native basins are wide, impostor spikes
+        are narrow; cf. cluster-size confidence in classic FFT
+        docking).  The reported pose is still the basin argmax.
         """
         cfg = self.config
         n = min(top, len(poses))
@@ -312,7 +319,10 @@ class DockingPipeline:
                             translation_center=poses.shifts[i],
                             max_shift=shift_vox * cfg.resolution,
                             prep=prep)
-            picks.append((float(res.scores[0]), res.rotations[0],
+            rank_score = (float(np.mean(res.scores[:agg_top]))
+                          if aggregate == "topmean"
+                          else float(res.scores[0]))
+            picks.append((rank_score, res.rotations[0],
                           res.translations[0], res.shifts[0]))
         order = np.argsort([-p[0] for p in picks])
         return PoseSet(
