@@ -137,10 +137,11 @@ def main():
                 and mode == "global"):
             hits1 = hits10 = 0
             rows = []
+            agg = os.environ.get("EM_AGG", "max")
             for c in complexes:
                 poses = shape_pipe.dock_complex(c)
                 top = lpipe.rescore(c.receptor, c.ligand, poses,
-                                    top=16)
+                                    top=16, aggregate=agg)
                 graded = grade_poses(c, top)
                 h1 = bool(graded
                           and graded[0]["capri"] != "incorrect")
