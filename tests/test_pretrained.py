@@ -122,3 +122,28 @@ class TestPretrained:
             vals.append(float(pairwise_ranking_accuracy(
                 s, batch.decoy_lrmsd[b], cfg.near_native_rmsd)))
         assert np.mean(vals) > 0.6, vals
+
+    def test_v5u_flagship_restores_and_docks_unbound(self):
+        # The flagship unbound-protocol checkpoint (EMA weights,
+        # selected at step 2200): restores, docks an unbound complex,
+        # and the hybrid coupling keeps a live shape-prior block.
+        ckpt = os.path.join(_ROOT, "pretrained", "synthetic-v5u",
+                            "best")
+        if not os.path.isdir(ckpt):
+            pytest.skip("no v5u checkpoint")
+        cfg = _cfg(ckpt)
+        trainer = Trainer(cfg)
+        state = trainer.restore(ckpt)
+        assert int(state.step) == 2200
+        coup = np.asarray(state.params["coupling"])
+        assert coup.shape[0] == cfg.rep_features[-1] + 2
+        assert coup[1, 1] < 0          # core-core still repels
+        pipe = DockingPipeline(config=cfg.replace(
+            num_rotations=8, rotation_chunk=4, top_k=8,
+            lig_grid_size=None, grid_size=32))
+        pipe.params = state.params
+        cplx = synthetic_complex(seed=999, n_res_rec=10, n_res_lig=5,
+                                 unbound_rmsd=1.2)
+        poses = pipe.dock_complex(cplx, cluster=False)
+        assert np.isfinite(poses.scores).all()
+        assert len(poses) == 8
