@@ -33,7 +33,7 @@ BASELINE_SECONDS = 10.0
 def main():
     n_rot = int(os.environ.get("BENCH_ROTATIONS", 13000))
     grid = int(os.environ.get("BENCH_GRID", 128))
-    chunk = int(os.environ.get("BENCH_CHUNK", 16))
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
     fft_impl = os.environ.get("BENCH_FFT", "dft_fused")
     dft_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     probe_only = os.environ.get("BENCH_PROBE_ONLY", "0") == "1"

@@ -116,8 +116,13 @@ PRESETS = {
         grid_size=96, num_rotations=16, rotation_chunk=16, top_k=16,
     ),
     # configs[2]: full-resolution sweep with fused top-K + NMS.
+    # rotation_chunk=128: measured 5.26 s vs 9.42 s at chunk 16 on the
+    # 13k x 128^3 bench (v5e, round 2) — per-chunk scan/top-k overhead
+    # amortizes up to 128, plateaus after (chunk 256: 5.30 s; chunk
+    # 100: 5.60 s — power-of-two tiling matters).
     "full-sweep": DockConfig(
-        grid_size=128, num_rotations=13000, rotation_chunk=16, top_k=64,
+        grid_size=128, num_rotations=13000, rotation_chunk=128,
+        top_k=64,
     ),
     # configs[3]: end-to-end representation training.
     "train": DockConfig(
