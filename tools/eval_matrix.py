@@ -101,7 +101,7 @@ def main():
         base = dict(grid_size=grid, resolution=1.25,
                     num_rotations=64 if local else n_rot,
                     local_cone_deg=50.0 if local else None,
-                    rotation_chunk=16, top_k=64, nms_rmsd=5.0,
+                    rotation_chunk=64, top_k=64, nms_rmsd=5.0,
                     decoy_max_shift=8.0)
 
         # Shape-complementarity baseline (params=None).
