@@ -132,7 +132,8 @@ def _deform(rng: np.random.Generator, s: Structure, rmsd: float,
 
 def synthetic_complex(seed: int = 0, n_res_rec: int = 30,
                       n_res_lig: int = 15,
-                      unbound_rmsd: float = 0.0) -> Complex:
+                      unbound_rmsd: float = 0.0,
+                      backbone: bool = False) -> Complex:
     """Deterministic synthetic docked complex (tests / benchmarks).
 
     One compact globular blob of ``n_res_rec + n_res_lig`` residues is
@@ -156,9 +157,20 @@ def synthetic_complex(seed: int = 0, n_res_rec: int = 30,
     a ceiling no learned correction can beat except by noise; the
     unbound protocol is where a learned, perturbation-robust
     representation can genuinely out-dock the analytic prior.
+
+    ``backbone=True`` builds the chain with real covalent polymer
+    geometry (compact self-avoiding CA walk, rigid peptide planes,
+    rotamer-sampled side chains — data/polymer.py) instead of the
+    round-2 disconnected residue blobs; this is the round-3+ flagship
+    protocol (VERDICT r2 #5).  Carving and deformation are identical in
+    both modes.
     """
     rng = np.random.default_rng(seed)
-    whole = _random_chain(rng, n_res_rec + n_res_lig, "A")
+    if backbone:
+        from deeplocalproteindocking_tpu.data.polymer import polymer_chain
+        whole = polymer_chain(rng, n_res_rec + n_res_lig, "A")
+    else:
+        whole = _random_chain(rng, n_res_rec + n_res_lig, "A")
     # Residue centers = mean of each residue's atoms.
     n_res = n_res_rec + n_res_lig
     res_centers = np.stack([
