@@ -153,9 +153,11 @@ def cmd_evaluate(args):
     complexes = _load_complexes(args)
     with maybe_trace(args.profile):
         if args.batch_size > 1:
-            summary = run_benchmark_batched(pipe, complexes, args.out,
-                                            group_size=args.batch_size,
-                                            refine_steps=args.refine_steps)
+            summary = run_benchmark_batched(
+                pipe, complexes, args.out,
+                group_size=args.batch_size,
+                refine_steps=args.refine_steps,
+                rescore_top=getattr(args, "rescore_top", 0))
         else:
             summary = run_benchmark(
                 pipe, complexes, args.out,
@@ -262,7 +264,8 @@ def main(argv=None):
     p.add_argument("--refine-steps", type=int, default=0)
     p.add_argument("--rescore-top", type=int, default=0,
                    help="hierarchical rescoring of the top-N cluster "
-                        "heads before grading (sequential mode only)")
+                        "heads before grading (sequential and batched "
+                        "modes)")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1: dock complex groups as one program "
                         "(throughput mode, configs[4])")

@@ -176,17 +176,22 @@ def run_benchmark_batched(pipeline: DockingPipeline,
                           out_dir: str,
                           group_size: int = 4,
                           logger: Optional[MetricsLogger] = None,
-                          refine_steps: int = 0) -> Dict:
+                          refine_steps: int = 0,
+                          rescore_top: int = 0) -> Dict:
     """Throughput-mode benchmark: groups of complexes docked as ONE
     compiled program over the (rot, batch) mesh (parallel/batch_eval.py,
     BASELINE.json configs[4]).
 
     Applies the same safety rails as the sequential runner: per-complex
     circular-wraparound masks, the local-docking restriction when
-    ``config.local_cone_deg`` is set, NMS clustering, and optional
-    continuous refinement — so both eval paths grade comparable poses.
-    Resume granularity is the complex (same atomic files as
-    run_benchmark); a group only recomputes its unfinished members.
+    ``config.local_cone_deg`` is set, NMS clustering, optional
+    hierarchical rescoring (``rescore_top`` — one compiled
+    heads-batched cone sweep per complex, see pipeline.rescore; round-2
+    VERDICT #2 wired the two-stage configuration into throughput mode),
+    and optional continuous refinement — so both eval paths grade
+    comparable poses.  Resume granularity is the complex (same atomic
+    files as run_benchmark); a group only recomputes its unfinished
+    members.
     """
     from deeplocalproteindocking_tpu.correlate.fft import (
         receptor_transform)
@@ -263,6 +268,9 @@ def run_benchmark_batched(pipeline: DockingPipeline,
                 rot_idx=rot_idx, shifts=shifts)
             poses = cluster_pose_set(c.ligand.centered().coords, poses,
                                      cfg.nms_rmsd)
+            if rescore_top:
+                poses = pipeline.rescore(c.receptor, c.ligand, poses,
+                                         top=rescore_top)
             if refine_steps:
                 poses = pipeline.refine(c.receptor, c.ligand, poses,
                                         steps=refine_steps)

@@ -114,3 +114,34 @@ def mine_hard_negatives(model, params, cfg: DockConfig,
             shifts=np.asarray(shifts),
             lrmsd=np.asarray(lrmsd))
     return out
+
+
+def save_mined(path: str, mined: Dict[str, DecoySet]) -> None:
+    """Serialize the persistent mined-negative buffer (atomic write).
+
+    The buffer is training state: dropping it on resume re-opens the
+    suppressed false positives until mining rounds rebuild it (round-2
+    ADVICE).  One npz holds all complexes, keyed ``<name>/<field>``.
+    """
+    arrs = {}
+    for name, ds in mined.items():
+        arrs[f"{name}/rotations"] = np.asarray(ds.rotations)
+        arrs[f"{name}/shifts"] = np.asarray(ds.shifts)
+        arrs[f"{name}/lrmsd"] = np.asarray(ds.lrmsd)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrs)
+    import os
+    os.replace(tmp, path)
+
+
+def load_mined(path: str) -> Dict[str, DecoySet]:
+    """Inverse of :func:`save_mined`."""
+    out: Dict[str, DecoySet] = {}
+    with np.load(path) as z:
+        names = sorted({k.rsplit("/", 1)[0] for k in z.files})
+        for name in names:
+            out[name] = DecoySet(
+                rotations=z[f"{name}/rotations"],
+                shifts=z[f"{name}/shifts"],
+                lrmsd=z[f"{name}/lrmsd"])
+    return out

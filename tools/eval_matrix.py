@@ -10,6 +10,7 @@ Usage: python tools/eval_matrix.py [ckpt_dir] [out_json]
 Env: EM_NROT (global rotations, default 1536), EM_GRID (default 64),
      EM_COMPLEXES (default 8), EM_MODES ("global,local"), EM_WIDEN,
      EM_SEED0, EM_UNBOUND (deformation RMSD), EM_DTYPE,
+     EM_BACKBONE (polymer-geometry fixtures, round-3 protocol),
      EM_RESCORE (top-N hierarchical rescoring in global mode).
 """
 from __future__ import annotations
@@ -33,7 +34,8 @@ from deeplocalproteindocking_tpu.pipeline import DockingPipeline
 from deeplocalproteindocking_tpu.train import Trainer
 
 
-def heldout_complexes(n, widen=False, seed0=100, unbound=0.0):
+def heldout_complexes(n, widen=False, seed0=100, unbound=0.0,
+                      backbone=False):
     """Held-out report complexes (seeds 100+, disjoint from training
     seeds 200+ and validation seeds 50+).  ``widen`` draws sizes from
     the same 9x5 (receptor 12..20, ligand 6..10 residue) grid as
@@ -44,11 +46,12 @@ def heldout_complexes(n, widen=False, seed0=100, unbound=0.0):
         return [synthetic_complex(seed=seed0 + s,
                                   n_res_rec=12 + s % 9,
                                   n_res_lig=6 + (s // 9) % 5,
-                                  unbound_rmsd=unbound)
+                                  unbound_rmsd=unbound,
+                                  backbone=backbone)
                 for s in range(n)]
     return [synthetic_complex(seed=seed0 + s, n_res_rec=14 + s % 5,
-                              n_res_lig=7 + s % 3,
-                              unbound_rmsd=unbound) for s in range(n)]
+                              n_res_lig=7 + s % 3, unbound_rmsd=unbound,
+                              backbone=backbone) for s in range(n)]
 
 
 def eval_mode(pipe, complexes, mode, cfg, rescore_top=0):
@@ -92,8 +95,9 @@ def main():
     rescore_top = int(os.environ.get("EM_RESCORE", 0))
     seed0 = int(os.environ.get("EM_SEED0", 100))
     unbound = float(os.environ.get("EM_UNBOUND", 0.0))
+    backbone = os.environ.get("EM_BACKBONE", "0") == "1"
     complexes = heldout_complexes(n_cplx, widen=widen, seed0=seed0,
-                                  unbound=unbound)
+                                  unbound=unbound, backbone=backbone)
     results = {}
 
     for mode in modes:
@@ -163,7 +167,7 @@ def main():
 
     results["protocol"] = dict(n_rotations=n_rot, grid=grid,
                                n_complexes=n_cplx, size_diverse=widen,
-                               unbound_rmsd=unbound,
+                               unbound_rmsd=unbound, backbone=backbone,
                                heldout_seeds=[seed0 + s
                                               for s in range(n_cplx)])
     with open(out_path, "w") as f:

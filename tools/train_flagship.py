@@ -15,7 +15,7 @@ Usage: python tools/train_flagship.py [steps] [ckpt_dir]
 Env: TF_GRID, TF_NROT_MINE, TF_MINE_EVERY, TF_SEEDS, TF_VAL_EVERY,
 TF_VAL_NROT, TF_VAL_COMPLEXES, TF_MINE_CHUNK, TF_SEED0,
 TF_UNBOUND (deformation RMSD, unbound protocol), TF_EMA (decay,
-0 = raw params).
+0 = raw params), TF_BACKBONE (polymer-geometry fixtures, round 3).
 """
 from __future__ import annotations
 
@@ -41,11 +41,12 @@ from deeplocalproteindocking_tpu.train import Trainer
 from deeplocalproteindocking_tpu.train.data_gen import (
     fit_lig_grid, make_training_batch)
 from deeplocalproteindocking_tpu.train.mining import (
-    merge_mined, mine_hard_negatives)
+    load_mined, merge_mined, mine_hard_negatives, save_mined)
 from deeplocalproteindocking_tpu.utils.logging import MetricsLogger
 
 
-def make_complexes(seed0, n, widen=False, unbound=0.0):
+def make_complexes(seed0, n, widen=False, unbound=0.0,
+                   backbone=False):
     """Synthetic complexes; ``widen=True`` varies sizes over a 9x5 grid
     (receptors 12..20, ligands 6..10 residues) — the round-2 diagnostic
     showed 48 complexes x 15 size combos improve TRAIN-global top-1
@@ -59,11 +60,12 @@ def make_complexes(seed0, n, widen=False, unbound=0.0):
         return [synthetic_complex(seed=seed0 + s,
                                   n_res_rec=12 + s % 9,
                                   n_res_lig=6 + (s // 9) % 5,
-                                  unbound_rmsd=unbound)
+                                  unbound_rmsd=unbound,
+                                  backbone=backbone)
                 for s in range(n)]
     return [synthetic_complex(seed=seed0 + s, n_res_rec=14 + s % 5,
-                              n_res_lig=7 + s % 3,
-                              unbound_rmsd=unbound) for s in range(n)]
+                              n_res_lig=7 + s % 3, unbound_rmsd=unbound,
+                              backbone=backbone) for s in range(n)]
 
 
 def val_global_hits(params, cfg, complexes, n_rot=256):
@@ -105,6 +107,7 @@ def main():
     # rides measurement+parameter noise; the averaged weights are the
     # stable estimate.  0 disables.
     ema_decay = float(os.environ.get("TF_EMA", 0.999))
+    backbone = os.environ.get("TF_BACKBONE", "0") == "1"
 
     cfg = DockConfig(
         grid_size=grid, resolution=1.25, rep_features=(32, 14),
@@ -118,8 +121,9 @@ def main():
         rotation_chunk=16, augment_rotations=True)
 
     complexes = make_complexes(seed0, n_train, widen=True,
-                               unbound=unbound)
-    val_cplx = make_complexes(50, n_val, widen=True, unbound=unbound)
+                               unbound=unbound, backbone=backbone)
+    val_cplx = make_complexes(50, n_val, widen=True, unbound=unbound,
+                              backbone=backbone)
     cfg = fit_lig_grid(complexes, cfg)
     print(f"config: grid={cfg.grid_size} lig_grid={cfg.lig_grid_size} "
           f"decoys={cfg.num_decoys} global_frac={cfg.decoy_global_frac} "
@@ -130,6 +134,9 @@ def main():
     best_dir = os.path.join(ckpt_dir, "best")
     best_json = os.path.join(ckpt_dir, "best.json")
 
+    ema_dir = os.path.join(ckpt_dir, "ema")
+    mined_npz = os.path.join(ckpt_dir, "mined.npz")
+    resumed = False
     try:  # resume an interrupted run from its latest checkpoint
         cfg_path = os.path.join(ckpt_dir, "config.json")
         if os.path.exists(cfg_path):
@@ -140,10 +147,7 @@ def main():
                 cfg = DockConfig.from_json(f.read())
             trainer = Trainer(cfg)
         state = trainer.restore(ckpt_dir)
-        with open(best_json) as f:
-            best = json.load(f)
-        print(f"resumed at step {int(state.step)} "
-              f"(best so far: {best})", flush=True)
+        resumed = True
     except (FileNotFoundError, OSError):
         state = trainer.init_state()
         # Baseline = untrained hybrid == shape complementarity: the val
@@ -161,6 +165,29 @@ def main():
     key = state.key
     mined = None
     ema = state.params
+    if resumed:
+        # best.json lives OUTSIDE the restore try (round-2 ADVICE: a
+        # missing best.json after a successful restore used to discard
+        # the restored state and re-init at step 0).
+        try:
+            with open(best_json) as f:
+                best = json.load(f)
+        except (FileNotFoundError, OSError):
+            best = dict(top1=-1.0, top10=-1.0, lrmsd=99.0, step=-1)
+        # The EMA average and the persistent mined-negative buffer are
+        # training state too (round-2 ADVICE: losing the buffer on
+        # resume re-opens suppressed false positives until mining
+        # rebuilds it).
+        try:
+            ema = trainer.restore(ema_dir).params
+        except (FileNotFoundError, OSError):
+            pass
+        if os.path.exists(mined_npz):
+            mined = load_mined(mined_npz)
+        print(f"resumed at step {int(state.step)} (best: {best}; "
+              f"mined buffer: "
+              f"{sum(len(d.lrmsd) for d in (mined or {}).values())} "
+              f"poses)", flush=True)
 
     @jax.jit
     def ema_update(e, p, d):
@@ -222,6 +249,10 @@ def main():
                     json.dump(best, f)
                 print(f"  -> new best (saved)", flush=True)
             trainer.save(ckpt_dir, state)
+            if ema_decay > 0:
+                trainer.save(ema_dir, state._replace(params=ema))
+            if mined:
+                save_mined(mined_npz, mined)
     print(f"done; best val step {best['step']}: top1={best['top1']:.3f}"
           f" top10={best['top10']:.3f}")
     with open(os.path.join(ckpt_dir, "TRAINING.json"), "w") as f:
