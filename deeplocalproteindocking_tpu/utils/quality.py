@@ -85,6 +85,76 @@ def fnat(rec: jax.Array, lig_native: jax.Array, lig_pose: jax.Array,
     return (nat & mod).sum() / n_nat
 
 
+# ---------------------------------------------------------------------------
+# Chunked variants for real protein sizes (round-2 VERDICT #4)
+#
+# The dense forms above materialize [N_rec, N_lig] atom-pair matrices —
+# fine at synthetic sizes (~300 atoms), a predictable OOM at Docking
+# Benchmark sizes (5-15k heavy atoms) once vmapped over K poses.  These
+# variants bound peak memory at O(atom_chunk * N_lig) by scanning
+# receptor-atom chunks, and grade_poses maps poses sequentially
+# (lax.map) so K never multiplies the pairwise intermediate.
+# ---------------------------------------------------------------------------
+
+
+def _pad_chunks(coords: jax.Array, ids: jax.Array, chunk: int):
+    """Pad atoms to a chunk multiple; padded atoms sit at 1e9 (never in
+    contact) with id 0 (harmless for max-combines)."""
+    n = coords.shape[0]
+    pad = (-n) % chunk
+    coords = jnp.pad(coords, ((0, pad), (0, 0)), constant_values=1e9)
+    ids = jnp.pad(ids, (0, pad))
+    return (coords.reshape(-1, chunk, 3),
+            ids.reshape(-1, chunk), pad)
+
+
+def residue_contact_table(rec: jax.Array, lig: jax.Array,
+                          rec_res: jax.Array, lig_res: jax.Array,
+                          *, num_rec_res: int, num_lig_res: int,
+                          cutoff: float = 5.0,
+                          atom_chunk: int = 1024) -> jax.Array:
+    """Residue-pair contact table ``bool [num_rec_res, num_lig_res]``.
+
+    A residue pair is in contact when any heavy-atom pair is within
+    ``cutoff``.  Peak memory O(atom_chunk * N_lig) regardless of N_rec.
+    """
+    c2 = cutoff * cutoff
+    recc, idsc, _ = _pad_chunks(rec, rec_res, atom_chunk)
+
+    def step(tab, inp):
+        rc, ric = inp
+        d2 = jnp.sum((rc[:, None, :] - lig[None]) ** 2, axis=-1)
+        am = (d2 < c2).astype(jnp.int32)              # [A, N_lig]
+        per_lig = jax.ops.segment_max(
+            am.T, lig_res, num_segments=num_lig_res)  # [n_lig_res, A]
+        part = jax.ops.segment_max(
+            per_lig.T, ric, num_segments=num_rec_res)
+        return jnp.maximum(tab, part), None
+
+    init = jnp.zeros((num_rec_res, num_lig_res), jnp.int32)
+    tab, _ = jax.lax.scan(step, init, (recc, idsc))
+    return tab > 0
+
+
+def interface_masks_chunked(rec: jax.Array, lig_native: jax.Array,
+                            cutoff: float = 10.0,
+                            atom_chunk: int = 1024):
+    """:func:`interface_masks` with O(atom_chunk * N_lig) peak memory."""
+    c2 = cutoff * cutoff
+    n = rec.shape[0]
+    recc, _, _ = _pad_chunks(
+        rec, jnp.zeros(n, jnp.int32), atom_chunk)
+
+    def step(lig_any, rc):
+        hit = jnp.sum((rc[:, None, :] - lig_native[None]) ** 2,
+                      axis=-1) < c2
+        return lig_any | hit.any(axis=0), hit.any(axis=1)
+
+    lig_any, rec_chunks = jax.lax.scan(
+        step, jnp.zeros(lig_native.shape[0], bool), recc)
+    return rec_chunks.reshape(-1)[:n], lig_any
+
+
 def capri_class(fnat_v, lrmsd_v, irmsd_v) -> int:
     """CAPRI quality class index into ``CAPRI_CLASSES`` (host scalar)."""
     f, l, i = float(fnat_v), float(lrmsd_v), float(irmsd_v)

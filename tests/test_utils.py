@@ -63,3 +63,128 @@ class TestProfiling:
         with t.stage("a"):
             time.sleep(0.01)
         assert t.times["a"] >= 0.02
+
+
+class TestScalableGrading:
+    """Chunked grading for real protein sizes (round-2 VERDICT #4)."""
+
+    def _random_complex(self, n_rec, n_lig, seed=0, atoms_per_res=8):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        rec = rng.normal(size=(n_rec, 3)).astype(np.float32) * 12.0
+        lig = (rng.normal(size=(n_lig, 3)).astype(np.float32) * 7.0
+               + np.array([18.0, 0, 0], np.float32))
+        rec_res = (np.arange(n_rec) // atoms_per_res).astype(np.int32)
+        lig_res = (np.arange(n_lig) // atoms_per_res).astype(np.int32)
+        return rec, lig, rec_res, lig_res
+
+    def test_contact_table_matches_dense(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from deeplocalproteindocking_tpu.utils.quality import (
+            residue_contact_table)
+        rec, lig, rec_res, lig_res = self._random_complex(200, 90)
+        nr, nl = rec_res.max() + 1, lig_res.max() + 1
+        # dense oracle
+        d2 = ((rec[:, None] - lig[None]) ** 2).sum(-1)
+        am = d2 < 25.0
+        dense = np.zeros((nr, nl), bool)
+        for i in range(len(rec)):
+            for j in np.nonzero(am[i])[0]:
+                dense[rec_res[i], lig_res[j]] = True
+        tab = residue_contact_table(
+            jnp.asarray(rec), jnp.asarray(lig), jnp.asarray(rec_res),
+            jnp.asarray(lig_res), num_rec_res=int(nr),
+            num_lig_res=int(nl), atom_chunk=64)
+        np.testing.assert_array_equal(np.asarray(tab), dense)
+
+    def test_interface_masks_match_dense(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from deeplocalproteindocking_tpu.utils.quality import (
+            interface_masks, interface_masks_chunked)
+        rec, lig, _, _ = self._random_complex(300, 120, seed=1)
+        a_r, a_l = interface_masks(jnp.asarray(rec), jnp.asarray(lig))
+        b_r, b_l = interface_masks_chunked(
+            jnp.asarray(rec), jnp.asarray(lig), atom_chunk=128)
+        np.testing.assert_array_equal(np.asarray(a_r), np.asarray(b_r))
+        np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
+
+    def test_grade_poses_parity_small(self):
+        """grade_poses (chunked path) == dense per-pose metrics."""
+        import jax.numpy as jnp
+        import numpy as np
+        from deeplocalproteindocking_tpu.data import synthetic_complex
+        from deeplocalproteindocking_tpu.evaluation import grade_poses
+        from deeplocalproteindocking_tpu.pipeline import PoseSet
+        from deeplocalproteindocking_tpu.structure.transforms import (
+            apply_pose)
+        from deeplocalproteindocking_tpu.utils.quality import (
+            fnat, interface_rmsd, ligand_rmsd)
+        from deeplocalproteindocking_tpu.evaluation import _dense_res_ids
+        cplx = synthetic_complex(seed=6, n_res_rec=10, n_res_lig=5)
+        K = 5
+        rng = np.random.default_rng(0)
+        Rs = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        ts = rng.normal(size=(K, 3)).astype(np.float32) * 3.0
+        poses = PoseSet(scores=np.zeros(K, np.float32), rotations=Rs,
+                        translations=ts,
+                        rot_idx=np.zeros(K, np.int32),
+                        shifts=np.zeros((K, 3), np.int32))
+        graded = grade_poses(cplx, poses)
+        rec = jnp.asarray(cplx.receptor.centered().coords)
+        native = jnp.asarray(cplx.ligand.coords - cplx.receptor.center)
+        rr = _dense_res_ids(cplx.receptor)
+        lr = _dense_res_ids(cplx.ligand)
+        lig_c = jnp.asarray(cplx.ligand.centered().coords)
+        for i, g in enumerate(graded):
+            p = apply_pose(lig_c, jnp.asarray(Rs[i]),
+                           jnp.asarray(ts[i]))
+            assert abs(g["lrmsd"]
+                       - float(ligand_rmsd(p, native))) < 1e-4
+            assert abs(g["irmsd"]
+                       - float(interface_rmsd(rec, native, p))) < 1e-4
+            assert abs(g["fnat"] - float(
+                fnat(rec, native, p, jnp.asarray(rr), jnp.asarray(lr),
+                     num_rec_res=int(rr.max()) + 1,
+                     num_lig_res=int(lr.max()) + 1))) < 1e-5
+
+    def test_large_complex_many_poses(self):
+        """>=5k-atom complex graded with K=64 poses in one call —
+        the scale gate for real Docking Benchmark data (VERDICT #4).
+        Peak pairwise intermediate is atom_chunk*N_lig, not
+        N_rec*N_lig*K (~5e9 floats dense)."""
+        import numpy as np
+        from deeplocalproteindocking_tpu.data.benchmark import Complex
+        from deeplocalproteindocking_tpu.evaluation import grade_poses
+        from deeplocalproteindocking_tpu.pipeline import PoseSet
+        from deeplocalproteindocking_tpu.structure.pdb import Structure
+        from deeplocalproteindocking_tpu.structure.atom_types import (
+            assign_atom_types)
+
+        def struct(n_atoms, seed, chain):
+            rng = np.random.default_rng(seed)
+            coords = rng.normal(size=(n_atoms, 3)).astype(np.float32) * 20
+            names = np.full(n_atoms, "CA", dtype="<U4")
+            ress = np.full(n_atoms, "ALA", dtype="<U3")
+            rids = (np.arange(n_atoms) // 8 + 1).astype(np.int32)
+            return Structure(
+                coords=coords, atom_names=names, res_names=ress,
+                res_ids=rids,
+                chain_ids=np.full(n_atoms, chain, dtype="<U1"),
+                types=assign_atom_types(ress, names))
+
+        cplx = Complex(name="big", receptor=struct(4000, 0, "A"),
+                       ligand=struct(1500, 1, "B"))
+        K = 64
+        rng = np.random.default_rng(2)
+        poses = PoseSet(
+            scores=np.zeros(K, np.float32),
+            rotations=np.tile(np.eye(3, dtype=np.float32), (K, 1, 1)),
+            translations=rng.normal(size=(K, 3)).astype(np.float32) * 5,
+            rot_idx=np.zeros(K, np.int32),
+            shifts=np.zeros((K, 3), np.int32))
+        graded = grade_poses(cplx, poses)
+        assert len(graded) == K
+        assert all(np.isfinite(g["lrmsd"]) and np.isfinite(g["irmsd"])
+                   and 0.0 <= g["fnat"] <= 1.0 for g in graded)
