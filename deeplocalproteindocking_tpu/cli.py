@@ -26,7 +26,11 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--sweep-mode", default=None,
                    choices=["resplat", "resample"])
     p.add_argument("--fft-impl", default=None,
-                   choices=["dft_fused", "dft", "dft_pallas", "xla"])
+                   choices=["dft_fused", "dft", "dft_pallas", "xla",
+                            "block"])
+    p.add_argument("--fft-block", type=int, default=None,
+                   help="translation-block edge for --fft-impl block "
+                        "(must divide grid size)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2)")
     p.add_argument("--profile", default=None,
@@ -50,6 +54,7 @@ def _build_config(args):
         ("num_rotations", "num_rotations"), ("top_k", "top_k"),
         ("local_cone_deg", "local_cone_deg"), ("mesh_rot", "mesh_rot"),
         ("sweep_mode", "sweep_mode"), ("fft_impl", "fft_impl"),
+        ("fft_block", "fft_block"),
     ] if getattr(args, a, None) is not None}
     if getattr(args, "debug_nans", False):
         overrides["debug_nans"] = True

@@ -42,6 +42,14 @@ class DockConfig:
                                   # | "dft" (pure-einsum matmul-DFT)
                                   # | "dft_pallas" (fused Pallas inverse only)
                                   # | "xla" (jnp.fft)
+                                  # | "block" (overlap-save block FFT,
+                                  #   correlate/blockfft.py — O(M^3) peak
+                                  #   memory; auto-selected when
+                                  #   grid_size > 128 under the default
+                                  #   impl)
+    fft_block: int = 32           # translation-block edge for
+                                  # fft_impl="block" (must divide
+                                  # grid_size)
     dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
     topk_impl: str = "exact"      # "approx" = lax.approx_max_k (faster)
     top_k: int = 32               # poses kept per complex

@@ -99,7 +99,8 @@ def sharded_dock_sweep_resplat(mesh: Mesh,
                                score_mask: Optional[jax.Array] = None,
                                fft_impl: str = "dft",
                                dft_dtype: str = "float32",
-                               topk_impl: str = "exact") -> DockResult:
+                               topk_impl: str = "exact",
+                               fft_block: int = 32) -> DockResult:
     """Rotation-sharded resplat sweep (see sweep/resplat.py).
 
     Same communication pattern as :func:`sharded_dock_sweep`: only the
@@ -126,7 +127,8 @@ def sharded_dock_sweep_resplat(mesh: Mesh,
             lig_grid=lig_grid, resolution=resolution, sigma=sigma,
             num_types=num_types, top_k=top_k, chunk=chunk,
             score_mask=score_mask, num_valid=local_valid,
-            fft_impl=fft_impl, dft_dtype=dft_dtype, topk_impl=topk_impl)
+            fft_impl=fft_impl, dft_dtype=dft_dtype,
+            topk_impl=topk_impl, fft_block=fft_block)
         rot_idx = res.rot_idx + base
         valid = rot_idx < n_valid
         scores = jnp.where(valid, res.scores, -jnp.inf)

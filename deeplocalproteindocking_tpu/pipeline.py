@@ -240,7 +240,30 @@ class DockingPipeline:
                 receptor_transform)
             from deeplocalproteindocking_tpu.sweep.resplat import (
                 auto_ligand_grid, dock_sweep_resplat)
-            H = receptor_transform(rep_rec, coupling)
+            # Engine dispatch: the fused matmul-DFT correlator is tuned
+            # for <=128^3 tiling; beyond that the overlap-save block
+            # engine (correlate/blockfft.py, SURVEY.md §5.7) keeps peak
+            # memory at O((block+Ls)^3) instead of O(L^3) spectra.
+            impl = cfg.fft_impl
+            if impl == "dft_fused" and cfg.grid_size > 128:
+                impl = "block"
+            if impl == "block":
+                # No full-grid receptor spectrum is formed; the channel
+                # coupling folds into the per-rotation ligand reps
+                # (the score is bilinear, so either side works).
+                H = rep_rec
+                base_rep_fn = self._ligand_rep_fn()
+                cpl = coupling
+                if cpl is None:
+                    rep_fn = base_rep_fn
+                else:
+                    def rep_fn(vols):
+                        reps = base_rep_fn(vols)
+                        return jnp.einsum("...c,ec->...e", reps,
+                                          cpl.astype(reps.dtype))
+            else:
+                H = receptor_transform(rep_rec, coupling)
+                rep_fn = self._ligand_rep_fn()
             lc, lt, lm = structure_to_device(
                 lig_c, bucket=cfg.atom_bucket or None)
             lig_grid = cfg.lig_grid_size or auto_ligand_grid(
@@ -250,17 +273,17 @@ class DockingPipeline:
                       resolution=cfg.resolution, sigma=cfg.sigma,
                       num_types=cfg.num_atom_types, top_k=cfg.top_k,
                       chunk=cfg.rotation_chunk, score_mask=score_mask,
-                      fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype,
-                      topk_impl=cfg.topk_impl)
+                      fft_impl=impl, dft_dtype=cfg.dft_dtype,
+                      topk_impl=cfg.topk_impl, fft_block=cfg.fft_block)
             if self.mesh is not None:
                 from deeplocalproteindocking_tpu.parallel.sharded_sweep \
                     import sharded_dock_sweep_resplat
                 res = sharded_dock_sweep_resplat(
                     self.mesh, H, lc, lt, lm, rotations,
-                    self._ligand_rep_fn(), **kw)
+                    rep_fn, **kw)
             else:
                 res = dock_sweep_resplat(H, lc, lt, lm, rotations,
-                                         self._ligand_rep_fn(), **kw)
+                                         rep_fn, **kw)
         elif self.mesh is not None:
             res = sharded_dock_sweep(
                 self.mesh, rep_rec, rep_lig, rotations, coupling,

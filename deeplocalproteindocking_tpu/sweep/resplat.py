@@ -71,7 +71,7 @@ def embed_small(rep_small: jax.Array, grid_size: int) -> jax.Array:
     jax.jit,
     static_argnames=("rep_fn", "grid_size", "lig_grid", "resolution",
                      "sigma", "num_types", "top_k", "chunk", "fft_impl",
-                     "dft_dtype", "topk_impl"),
+                     "dft_dtype", "topk_impl", "fft_block"),
 )
 def dock_sweep_resplat(H: jax.Array,
                        lig_coords: jax.Array,
@@ -91,7 +91,8 @@ def dock_sweep_resplat(H: jax.Array,
                        num_valid: Optional[jax.Array] = None,
                        fft_impl: str = "dft",
                        dft_dtype: str = "float32",
-                       topk_impl: str = "exact") -> DockResult:
+                       topk_impl: str = "exact",
+                       fft_block: int = 32) -> DockResult:
     """Full rotation sweep with per-rotation coordinate re-splatting.
 
     ``H`` is the coupled receptor spectrum (correlate/fft.py);
@@ -146,7 +147,8 @@ def dock_sweep_resplat(H: jax.Array,
             if fft_impl == "dft_fused":
                 S = _correlate_fused(Ht, reps, L, lig_grid, dft_dtype)
             else:
-                S = _correlate_batch(H, reps, L, fft_impl, dft_dtype)
+                S = _correlate_batch(H, reps, L, fft_impl, dft_dtype,
+                                     fft_block)
         if score_mask is not None:
             S = jnp.where(score_mask[None], S, neg_inf)
         Sf = S.reshape(chunk, L * L * L)
@@ -200,8 +202,20 @@ def _correlate_fused(Ht, reps, grid_size, lig_grid, dft_dtype):
     return corr.scores_fused(Ht[0], Ht[1], reps)
 
 
-def _correlate_batch(H, reps, grid_size, fft_impl, dft_dtype):
-    """Score volumes ``[B, L, L, L]`` for small-box reps (either engine)."""
+def _correlate_batch(H, reps, grid_size, fft_impl, dft_dtype,
+                     fft_block=32):
+    """Score volumes ``[B, L, L, L]`` for small-box reps (any engine)."""
+    if fft_impl == "block":
+        # Overlap-save block decomposition (correlate/blockfft.py,
+        # SURVEY.md §5.7): H here is the RAW real-space receptor rep
+        # [L, L, L, C] (no full-grid spectrum is ever formed — that is
+        # the point); the channel coupling is folded into the ligand
+        # reps upstream (pipeline.dock).
+        from deeplocalproteindocking_tpu.correlate.blockfft import (
+            block_correlate_scores)
+        return jax.vmap(
+            lambda r: block_correlate_scores(H, r, None,
+                                             block=fft_block))(reps)
     if fft_impl in ("dft", "dft_pallas"):
         corr = get_correlator(grid_size, reps.shape[-2], dft_dtype)
         inverse_impl = "pallas" if fft_impl == "dft_pallas" else "einsum"
