@@ -20,3 +20,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow test tiers (round-2 VERDICT weak #8: the 19-minute full
+# suite taxed every iteration).  Heavy modules are marked slow here so
+# `pytest -m "not slow"` gives a <3-minute unit tier; anything not
+# listed runs in both tiers.  Module-level marking keeps the tier
+# decision in one place instead of scattered decorators.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_e2e",          # full-stack docking sweeps
+    "test_golden",       # golden sweep snapshots (two engines)
+    "test_parallel",     # 8-device mesh == single-device sweeps
+    "test_pretrained",   # checkpoint loading + eval sweeps
+    "test_train",        # training loops with FD gradient checks
+    "test_blockfft",     # 192^3 end-to-end dock
+    "test_resplat",      # sweep oracles + FD grads through splat->CNN->FFT
+    "test_pallas_fused", # interpret-mode Pallas kernels (slow on CPU)
+    "test_pallas_idft",
+    "test_hybrid",       # shape-prior equivalence sweeps
+    "test_cli",          # subprocess CLI invocations
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
