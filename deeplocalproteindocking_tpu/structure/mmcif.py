@@ -21,8 +21,6 @@ Pure host-side Python: parsing is once-per-complex, off every hot path
 from __future__ import annotations
 
 import os
-import shlex
-
 import numpy as np
 
 from deeplocalproteindocking_tpu.structure.atom_types import (
@@ -33,39 +31,128 @@ from deeplocalproteindocking_tpu.structure.pdb import (
 )
 
 
-def _split_cif_line(line: str):
-    """mmCIF values are whitespace-separated; quoted values may contain
-    spaces.  shlex handles both quote styles used by atom_site rows."""
-    if "'" in line or '"' in line:
-        try:
-            return shlex.split(line)
-        except ValueError:
-            return line.split()
-    return line.split()
+def _tokenize_cif(text: str):
+    """CIF token stream: ``(is_value_literal, token)`` pairs.
+
+    Handles the two constructs the round-2 line-based scanner
+    mis-parsed (round-2 VERDICT weak #4):
+
+    * **semicolon-delimited text blocks** (a line starting ``;`` opens
+      a multi-line value closed by the next ``;`` line) — emitted as
+      ONE value token, so a block containing ``loop_`` or ``_tag``
+      lines can no longer desync the parser;
+    * **wrapped loop rows** (a row's values legally span lines) — the
+      downstream parser consumes values by count, not by line.
+
+    ``is_value_literal`` is True for text blocks and quoted strings
+    (which may start with ``_`` or equal ``loop_`` without being
+    keywords).  ``#`` comments are stripped outside quotes.
+    """
+    lines = text.splitlines()
+    i, n = 0, len(lines)
+    toks = []
+    while i < n:
+        line = lines[i]
+        if line.startswith(";"):
+            block = [line[1:]]
+            i += 1
+            while i < n and not lines[i].startswith(";"):
+                block.append(lines[i])
+                i += 1
+            i += 1                       # closing ';' line
+            toks.append((True, "\n".join(block)))
+            continue
+        s = line.strip()
+        i += 1
+        if not s or s.startswith("#"):
+            continue
+        if "'" in s or '"' in s:
+            toks.extend(_lex_quoted_line(s))
+        else:
+            for t in s.split():
+                if t.startswith("#"):
+                    break                # trailing comment
+                toks.append((False, t))
+    return toks
+
+
+def _lex_quoted_line(s: str):
+    """Tokenize one CIF line with per-token quoting info.
+
+    CIF quoting rule: a quote opens a string only at a token start,
+    and the matching close quote must be followed by whitespace or end
+    of line (embedded quotes are data).  ``#`` starts a comment only
+    outside quotes at a token boundary.
+    """
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in " \t":
+            i += 1
+            continue
+        if c == "#":
+            break
+        if c in "'\"":
+            q = c
+            j = i + 1
+            buf = []
+            while j < n and not (s[j] == q
+                                 and (j + 1 == n or s[j + 1] in " \t")):
+                buf.append(s[j])
+                j += 1
+            out.append((True, "".join(buf)))
+            i = j + 1
+        else:
+            j = i
+            while j < n and s[j] not in " \t":
+                j += 1
+            out.append((False, s[i:j]))
+            i = j
+    return out
 
 
 def parse_mmcif_text(text: str, include_hetatm: bool = False,
                      model: int = 1) -> Structure:
     """Parse ``_atom_site``; ``model`` selects the Nth distinct
     ``pdbx_PDB_model_num`` in file order (1-based, default first)."""
-    lines = text.splitlines()
+    toks = _tokenize_cif(text)
     names, ress, chains, rids, icds, xyz = [], [], [], [], [], []
     alts, occs = [], []
     models_seen: list = []
 
+    def _is_kw(t, kw):
+        lit, s = t
+        return not lit and s.lower() == kw
+
+    def _is_tag(t):
+        lit, s = t
+        return not lit and s.startswith("_")
+
+    def _ends_loop(t):
+        lit, s = t
+        return not lit and (s.startswith("_")
+                            or s.lower() in ("loop_", "stop_")
+                            or s.lower().startswith("data_"))
+
     i = 0
-    n = len(lines)
+    n = len(toks)
     while i < n:
-        if lines[i].strip() != "loop_":
+        if not _is_kw(toks[i], "loop_"):
             i += 1
             continue
         # Collect the loop's column headers.
         j = i + 1
         cols = []
-        while j < n and lines[j].startswith("_"):
-            cols.append(lines[j].strip().split()[0])
+        while j < n and _is_tag(toks[j]):
+            cols.append(toks[j][1])
             j += 1
         if not cols or not cols[0].startswith("_atom_site."):
+            # Skip this loop's values (text blocks and quoted strings
+            # are single value tokens, so a block containing "loop_"
+            # text cannot desync the scan).
+            while j < n and not _ends_loop(toks[j]):
+                j += 1
             i = j
             continue
         idx = {c.split(".", 1)[1]: k for k, c in enumerate(cols)}
@@ -79,15 +166,13 @@ def parse_mmcif_text(text: str, include_hetatm: bool = False,
                         return v
             return default
 
-        while j < n:
-            raw = lines[j].strip()
-            if (not raw or raw.startswith("#") or raw.startswith("_")
-                    or raw == "loop_" or raw.startswith("data_")):
-                break
-            row = _split_cif_line(raw)
-            j += 1
-            if len(row) < len(cols):
-                continue
+        nc = len(cols)
+        while j < n and not _ends_loop(toks[j]):
+            if j + nc > n:
+                break                    # truncated final row
+            # Rows may wrap lines: consume values by COUNT.
+            row = [toks[j + m][1] for m in range(nc)]
+            j += nc
             rec = col(row, "group_PDB", default="ATOM")
             if rec == "HETATM" and not include_hetatm:
                 continue

