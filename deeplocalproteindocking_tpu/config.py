@@ -51,6 +51,14 @@ class DockConfig:
                                   # fft_impl="block" (must divide
                                   # grid_size)
     dft_dtype: str = "float32"    # "bfloat16" trades precision for MXU rate
+    coupling_rank: Optional[int] = None
+                                  # SVD-truncate the channel coupling to
+                                  # rank r: ligand reps project to r
+                                  # channels before the correlator, so
+                                  # per-rotation forward-DFT/coupling
+                                  # FLOPs scale with r instead of C
+                                  # (pipeline._spectral_parts).  None =
+                                  # exact full-rank scoring.
     topk_impl: str = "exact"      # "approx" = lax.approx_max_k (faster)
     top_k: int = 32               # poses kept per complex
     atom_bucket: int = 64         # pad atom counts to a multiple so

@@ -248,12 +248,17 @@ def run_benchmark_batched(pipeline: DockingPipeline,
             for c in group)
         H, lc, lt, lm, masks = [], [], [], [], []
         any_mask = False
+        cpl_parts = None
         for c in group:
             rec_vol = pipeline.voxelize(c.receptor.centered(), max_atoms)
             lig_vol = pipeline.voxelize(c.ligand.centered(), max_atoms)
             rep_rec, _, coupling = pipeline.representations(rec_vol,
                                                             lig_vol)
-            H.append(receptor_transform(rep_rec, coupling))
+            if cpl_parts is None:
+                # Coupling comes from the (shared) params, identical
+                # across the group; one rep_fn serves the whole batch.
+                cpl_parts = pipeline._spectral_parts(coupling)
+            H.append(receptor_transform(rep_rec, cpl_parts[0]))
             a, b, m = structure_to_device(c.ligand.centered(), max_atoms)
             lc.append(a); lt.append(b); lm.append(m)
             # Same rails as pipeline.dock: wraparound guard + local
@@ -273,7 +278,7 @@ def run_benchmark_batched(pipeline: DockingPipeline,
             score_mask = None
         res = dock_batch(
             pipeline.mesh, jnp.stack(H), jnp.stack(lc), jnp.stack(lt),
-            jnp.stack(lm), rotations, pipeline._ligand_rep_fn(),
+            jnp.stack(lm), rotations, cpl_parts[1],
             grid_size=cfg.grid_size, lig_grid=lig_grid,
             resolution=cfg.resolution, sigma=cfg.sigma,
             num_types=cfg.num_atom_types, top_k=cfg.top_k,

@@ -183,6 +183,33 @@ class DockingPipeline:
                                method=model.represent)
         return rep_fn
 
+    def _spectral_parts(self, coupling):
+        """(receptor-side coupling matrix, ligand rep_fn) for the
+        spectral correlators, applying optional SVD rank truncation.
+
+        The score is bilinear: ``S = sum_ec F[rep_rec]_e A[e,c]
+        conj(F[rep_lig]_c)``.  With ``A = U diag(s) V^T`` truncated to
+        rank r, the receptor side absorbs ``U_r diag(s_r)`` (a
+        rectangular [C, r] receptor_transform) and the ligand reps
+        project through ``V_r`` to r channels — per-rotation forward
+        DFT + coupling FLOPs then scale with r instead of C, with score
+        error bounded by the discarded singular values.  Exact when
+        r >= rank(A) (the analytic shape coupling has rank 2).
+        """
+        rep_fn = self._ligand_rep_fn()
+        r = self.config.coupling_rank
+        if r is None or coupling is None or r >= min(coupling.shape):
+            return coupling, rep_fn
+        U, s, Vt = np.linalg.svd(np.asarray(coupling, np.float32))
+        proj_rec = jnp.asarray(U[:, :r] * s[None, :r])   # [C, r]
+        proj_lig = jnp.asarray(Vt[:r].T)                 # [C, r]
+
+        def rep_fn_r(vols):
+            reps = rep_fn(vols)
+            return jnp.einsum("...c,cr->...r", reps,
+                              proj_lig.astype(reps.dtype))
+        return proj_rec, rep_fn_r
+
     def _receptive_field(self) -> int:
         if self.params is None:
             return 3                      # shape mode: 2-voxel dilation + 1
@@ -262,8 +289,8 @@ class DockingPipeline:
                         return jnp.einsum("...c,ec->...e", reps,
                                           cpl.astype(reps.dtype))
             else:
-                H = receptor_transform(rep_rec, coupling)
-                rep_fn = self._ligand_rep_fn()
+                cpl_eff, rep_fn = self._spectral_parts(coupling)
+                H = receptor_transform(rep_rec, cpl_eff)
             lc, lt, lm = structure_to_device(
                 lig_c, bucket=cfg.atom_bucket or None)
             lig_grid = cfg.lig_grid_size or auto_ligand_grid(
@@ -359,7 +386,8 @@ class DockingPipeline:
         if prep is None:
             prep = self._prepare(rec, lig)
         rec_c, lig_c, rep_rec, rep_lig, coupling = prep
-        H = receptor_transform(rep_rec, coupling)
+        cpl_eff, rep_fn = self._spectral_parts(coupling)
+        H = receptor_transform(rep_rec, cpl_eff)
         lc, lt, lm = structure_to_device(
             lig_c, bucket=cfg.atom_bucket or None)
         lig_grid = cfg.lig_grid_size or auto_ligand_grid(
@@ -385,7 +413,6 @@ class DockingPipeline:
             masks.append(m if guard is None else m & guard)
         head_masks = jnp.stack(masks)             # [n, L, L, L]
         K = max(agg_top if aggregate == "topmean" else 1, 1)
-        rep_fn = self._ligand_rep_fn()
         kw = dict(grid_size=cfg.grid_size, lig_grid=lig_grid,
                   resolution=cfg.resolution, sigma=cfg.sigma,
                   num_types=cfg.num_atom_types, top_k=K,
