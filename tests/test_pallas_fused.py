@@ -163,3 +163,40 @@ class TestExactBlockTopK:
         got_v, got_i = exact_block_topk(jnp.asarray(x), 8, block=32)
         assert np.asarray(got_v)[0, 0] == 1.0
         assert np.asarray(got_i)[0, 0] == 5
+
+
+class TestTwoLevelBlockTopK:
+    """Round-3: second max-reduction level (the 128^3 sort over 65k
+    block maxes was the dominant top-K cost)."""
+
+    def test_matches_lax_topk_both_levels(self):
+        rng = np.random.default_rng(1)
+        for n in (2048, 32768, 131072):
+            x = jnp.asarray(rng.normal(size=(2, n)).astype(np.float32))
+            for k in (8, 64):
+                v1, i1 = exact_block_topk(x, k)
+                v0, _ = jax.lax.top_k(x, k)
+                np.testing.assert_allclose(np.asarray(v1),
+                                           np.asarray(v0), atol=0)
+                np.testing.assert_allclose(
+                    np.take_along_axis(np.asarray(x), np.asarray(i1),
+                                       1),
+                    np.asarray(v1), atol=0)
+
+    def test_heavy_ties(self):
+        rng = np.random.default_rng(2)
+        x = np.round(rng.normal(size=(2, 65536)) * 2) / 2
+        v1, _ = exact_block_topk(jnp.asarray(x.astype(np.float32)), 64)
+        v0, _ = jax.lax.top_k(jnp.asarray(x.astype(np.float32)), 64)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   atol=0)
+
+    def test_adversarial_concentration(self):
+        """All top-k values inside ONE super-block (the case a lossy
+        two-level scheme would truncate)."""
+        x = np.zeros((1, 65536), np.float32)
+        x[0, 100:164] = np.arange(64, 0, -1, dtype=np.float32) + 10
+        v1, i1 = exact_block_topk(jnp.asarray(x), 64)
+        v0, _ = jax.lax.top_k(jnp.asarray(x), 64)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   atol=0)
