@@ -134,10 +134,50 @@ def cmd_generate_dataset(args):
     from deeplocalproteindocking_tpu.structure.pdb import write_pdb
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.num_complexes):
-        c = synthetic_complex(seed=args.seed + i)
+        c = synthetic_complex(seed=args.seed + i,
+                              backbone=args.backbone,
+                              unbound_rmsd=args.unbound_rmsd)
         write_pdb(os.path.join(args.out, f"{c.name}_r_u.pdb"), c.receptor)
         write_pdb(os.path.join(args.out, f"{c.name}_l_u.pdb"), c.ligand)
     print(f"wrote {args.num_complexes} synthetic complexes to {args.out}")
+
+
+def cmd_screen(args):
+    from deeplocalproteindocking_tpu.serving import DockingService
+    from deeplocalproteindocking_tpu.structure.mmcif import (
+        parse_structure)
+    cfg = _build_config(args)
+    pipe = _build_pipeline(cfg, args.checkpoint)
+    svc = DockingService(cfg, params=pipe.params, mesh=pipe.mesh)
+    rec = parse_structure(args.receptor).typed()
+    if os.path.isdir(args.ligands):
+        paths = sorted(
+            os.path.join(args.ligands, f)
+            for f in os.listdir(args.ligands)
+            if f.endswith((".pdb", ".cif", ".mmcif")))
+    else:
+        paths = args.ligands.split(",")
+    os.makedirs(args.out, exist_ok=True)
+    ranking = []
+    for path in paths:
+        lig = parse_structure(path).typed()
+        poses = svc.dock(rec, lig)
+        if args.rescore_top:
+            poses = svc.rescore(rec, lig, poses, top=args.rescore_top)
+        name = os.path.splitext(os.path.basename(path))[0]
+        ranking.append(dict(
+            ligand=name, best_score=float(poses.scores[0]),
+            poses=[dict(rank=i, score=float(poses.scores[i]),
+                        shift=[int(v) for v in poses.shifts[i]])
+                   for i in range(min(len(poses), args.num_out))]))
+    ranking.sort(key=lambda r: -r["best_score"])
+    with open(os.path.join(args.out, "screen.json"), "w") as f:
+        json.dump(dict(receptor=args.receptor,
+                       cache=svc.stats, ranking=ranking), f, indent=2)
+    print(f"screened {len(paths)} ligands "
+          f"(receptor prepared {svc.stats['misses']}x, "
+          f"served {svc.stats['hits']}x from cache); "
+          f"ranking -> {args.out}/screen.json")
 
 
 def _load_complexes(args):
@@ -259,6 +299,12 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--num-complexes", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backbone", action="store_true",
+                   help="polymer covalent geometry (data/polymer.py; "
+                        "the round-3 flagship protocol)")
+    p.add_argument("--unbound-rmsd", type=float, default=0.0,
+                   help="deform receptor+ligand in place by this "
+                        "per-atom RMSD (DB-style unbound protocol)")
     p.set_defaults(fn=cmd_generate_dataset)
 
     p = sub.add_parser("evaluate", help="benchmark sweep + hit-rate table")
@@ -293,6 +339,22 @@ def main(argv=None):
                         "(config.decoy_global_frac)")
     _add_config_args(p)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "screen",
+        help="dock ONE receptor against MANY ligands (serving path: "
+             "the receptor representation+spectrum is computed once "
+             "and cached — serving.DockingService)")
+    p.add_argument("--receptor", required=True)
+    p.add_argument("--ligands", required=True,
+                   help="directory of ligand .pdb/.cif files, or a "
+                        "comma-separated file list")
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num-out", type=int, default=5)
+    p.add_argument("--rescore-top", type=int, default=0)
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_screen)
 
     p = sub.add_parser("info", help="devices and presets")
     p.set_defaults(fn=cmd_info)

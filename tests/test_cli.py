@@ -42,3 +42,21 @@ class TestCLI:
               "--resolution", "2.0",
               "--num-rotations", "4", "--top-k", "4"])
         assert os.path.exists(os.path.join(poses, "poses.json"))
+
+    def test_screen_command(self, tmp_path):
+        db = str(tmp_path / "db")
+        main(["generate-dataset", "--out", db, "--num-complexes", "2",
+              "--backbone"])
+        out = str(tmp_path / "scr")
+        main(["screen", "--receptor", f"{db}/synth0_r_u.pdb",
+              "--ligands",
+              f"{db}/synth0_l_u.pdb,{db}/synth1_l_u.pdb",
+              "--out", out, "--grid-size", "32",
+              "--num-rotations", "4", "--top-k", "4"])
+        res = json.load(open(os.path.join(out, "screen.json")))
+        assert len(res["ranking"]) == 2
+        # receptor prepared once, second ligand served from cache
+        assert res["cache"]["misses"] == 1
+        assert res["cache"]["hits"] == 1
+        scores = [r["best_score"] for r in res["ranking"]]
+        assert scores == sorted(scores, reverse=True)
