@@ -139,7 +139,32 @@ def cmd_generate_dataset(args):
                               unbound_rmsd=args.unbound_rmsd)
         write_pdb(os.path.join(args.out, f"{c.name}_r_u.pdb"), c.receptor)
         write_pdb(os.path.join(args.out, f"{c.name}_l_u.pdb"), c.ligand)
-    print(f"wrote {args.num_complexes} synthetic complexes to {args.out}")
+        if args.decoys:
+            # Offline decoy pose sets with LRMSD labels — the
+            # reference's generate_dataset stage serializes these
+            # (SURVEY.md §3.3); training here can also regenerate them
+            # on the fly, so the file is for interchange/inspection.
+            import jax
+            import jax.numpy as jnp
+            from deeplocalproteindocking_tpu.train.data_gen import (
+                native_voxel_shift)
+            from deeplocalproteindocking_tpu.train.decoys import (
+                generate_decoys)
+            lig_c = c.ligand.centered().typed()
+            ds = generate_decoys(
+                jax.random.key(args.seed + i),
+                jnp.asarray(lig_c.coords),
+                jnp.ones(len(lig_c)),
+                jnp.asarray(native_voxel_shift(c, 1.25)),
+                n=args.decoys, resolution=1.25,
+                max_angle=np.deg2rad(50.0), max_shift=8.0)
+            np.savez(os.path.join(args.out, f"{c.name}_decoys.npz"),
+                     rotations=np.asarray(ds.rotations),
+                     shifts=np.asarray(ds.shifts),
+                     lrmsd=np.asarray(ds.lrmsd))
+    print(f"wrote {args.num_complexes} synthetic complexes to {args.out}"
+          + (f" (+{args.decoys}-pose decoy sets)" if args.decoys
+             else ""))
 
 
 def cmd_screen(args):
@@ -305,6 +330,11 @@ def main(argv=None):
     p.add_argument("--unbound-rmsd", type=float, default=0.0,
                    help="deform receptor+ligand in place by this "
                         "per-atom RMSD (DB-style unbound protocol)")
+    p.add_argument("--decoys", type=int, default=0,
+                   help="also write an N-pose labeled decoy set per "
+                        "complex (<name>_decoys.npz: rotations, voxel "
+                        "shifts, LRMSD labels — the reference's "
+                        "offline dataset-generation stage)")
     p.set_defaults(fn=cmd_generate_dataset)
 
     p = sub.add_parser("evaluate", help="benchmark sweep + hit-rate table")

@@ -60,3 +60,14 @@ class TestCLI:
         assert res["cache"]["hits"] == 1
         scores = [r["best_score"] for r in res["ranking"]]
         assert scores == sorted(scores, reverse=True)
+
+    def test_generate_dataset_decoys(self, tmp_path):
+        import numpy as np
+        db = str(tmp_path / "db")
+        main(["generate-dataset", "--out", db, "--num-complexes", "1",
+              "--decoys", "8"])
+        z = np.load(os.path.join(db, "synth0_decoys.npz"))
+        assert z["rotations"].shape == (8, 3, 3)
+        assert z["shifts"].shape == (8, 3)
+        assert z["lrmsd"].shape == (8,)
+        assert z["lrmsd"][0] < 1e-4      # decoy 0 is the native pose
