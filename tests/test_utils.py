@@ -188,3 +188,28 @@ class TestScalableGrading:
         assert len(graded) == K
         assert all(np.isfinite(g["lrmsd"]) and np.isfinite(g["irmsd"])
                    and 0.0 <= g["fnat"] <= 1.0 for g in graded)
+
+
+class TestCCP4Export:
+    def test_roundtrip(self, tmp_path):
+        import numpy as np
+        from deeplocalproteindocking_tpu.grids.ccp4 import (
+            read_ccp4, write_ccp4)
+        rng = np.random.default_rng(0)
+        vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
+        p = str(tmp_path / "m.ccp4")
+        write_ccp4(p, vol, resolution=1.25)
+        back, res = read_ccp4(p)
+        np.testing.assert_array_equal(back, vol)
+        assert abs(res - 1.25) < 1e-6
+        # header sanity: 1024 + data bytes
+        import os
+        assert os.path.getsize(p) == 1024 + 4 * 16 ** 3
+
+    def test_rejects_non_cubic(self, tmp_path):
+        import numpy as np
+        import pytest
+        from deeplocalproteindocking_tpu.grids.ccp4 import write_ccp4
+        with pytest.raises(ValueError):
+            write_ccp4(str(tmp_path / "x.ccp4"),
+                       np.zeros((8, 8, 4), np.float32))
