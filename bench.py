@@ -16,7 +16,9 @@ Prints ONE JSON line:
 ``vs_baseline`` = baseline_seconds / measured_seconds (>1 beats target).
 
 Env knobs: BENCH_ROTATIONS, BENCH_GRID, BENCH_CHUNK, BENCH_FFT
-("dft"|"xla"), BENCH_DTYPE ("float32"|"bfloat16"), BENCH_PROBE_ONLY=1.
+("dft"|"xla"), BENCH_DTYPE ("float32"|"bfloat16"), BENCH_RANK
+(coupling_rank SVD truncation; the flagship's trained coupling is
+~rank-2, tools/coupling_spectrum.py), BENCH_PROBE_ONLY=1.
 """
 from __future__ import annotations
 
@@ -36,6 +38,7 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 128))
     fft_impl = os.environ.get("BENCH_FFT", "dft_fused")
     dft_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    rank = int(os.environ.get("BENCH_RANK", 0)) or None
     probe_only = os.environ.get("BENCH_PROBE_ONLY", "0") == "1"
 
     import jax
@@ -63,7 +66,7 @@ def main():
     cfg = DockConfig(grid_size=grid, resolution=1.25,
                      rep_features=(32, 14), shape_prior=True,
                      compute_dtype="bfloat16",
-                     rotation_chunk=chunk,
+                     rotation_chunk=chunk, coupling_rank=rank,
                      top_k=64, fft_impl=fft_impl, dft_dtype=dft_dtype)
     pipe = DockingPipeline(config=cfg)
     params = pipe.init_params(seed=0)
@@ -72,13 +75,14 @@ def main():
     rec_vol = pipe.voxelize(cplx.receptor.centered())
     rep_rec = pipe.model.apply({"params": params}, rec_vol,
                                method=pipe.model.represent)
-    H = receptor_transform(rep_rec, params["coupling"])
+    cpl_eff, _rank_rep_fn = pipe._spectral_parts(params["coupling"])
+    H = receptor_transform(rep_rec, cpl_eff)
     lig_c = cplx.ligand.centered()
     lc, lt, lm = structure_to_device(lig_c)
     lig_grid = cfg.lig_grid_size or auto_ligand_grid(
         lig_c.typed().coords, cfg.resolution, cfg.sigma,
         pipe._receptive_field(), cfg.grid_size)
-    rep_fn = pipe._ligand_rep_fn()
+    rep_fn = _rank_rep_fn   # == _ligand_rep_fn when BENCH_RANK unset
 
     n_dev = len(jax.devices())
     mesh = None
@@ -118,6 +122,7 @@ def main():
               "rotations_per_second": rate, "lig_grid": lig_grid,
               "devices": n_dev, "fft_impl": fft_impl,
               "dft_dtype": dft_dtype, "chunk": chunk,
+              "coupling_rank": rank,
               "device": str(jax.devices()[0])}
 
     if probe_only or projected > 900.0:
