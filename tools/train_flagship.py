@@ -15,7 +15,8 @@ Usage: python tools/train_flagship.py [steps] [ckpt_dir]
 Env: TF_GRID, TF_NROT_MINE, TF_MINE_EVERY, TF_SEEDS, TF_VAL_EVERY,
 TF_VAL_NROT, TF_VAL_COMPLEXES, TF_MINE_CHUNK, TF_SEED0,
 TF_UNBOUND (deformation RMSD, unbound protocol), TF_EMA (decay,
-0 = raw params), TF_BACKBONE (polymer-geometry fixtures, round 3).
+0 = raw params), TF_BACKBONE (polymer-geometry fixtures, round 3),
+TF_LR, TF_GLOBAL_FRAC, TF_NEAR_NATIVE, TF_MARGIN (recipe knobs).
 """
 from __future__ import annotations
 
@@ -108,16 +109,20 @@ def main():
     # stable estimate.  0 disables.
     ema_decay = float(os.environ.get("TF_EMA", 0.999))
     backbone = os.environ.get("TF_BACKBONE", "0") == "1"
+    lr = float(os.environ.get("TF_LR", 3e-4))
+    global_frac = float(os.environ.get("TF_GLOBAL_FRAC", 0.35))
+    near_native = float(os.environ.get("TF_NEAR_NATIVE", 4.0))
+    hinge = float(os.environ.get("TF_MARGIN", 20.0))
 
     cfg = DockConfig(
         grid_size=grid, resolution=1.25, rep_features=(32, 14),
         shape_prior=True,   # 14 learned + 2 prior channels = 16 total
                             # (keeps the fused kernel's C=16 tiling)
-        num_decoys=24, batch_complexes=2, learning_rate=3e-4,
+        num_decoys=24, batch_complexes=2, learning_rate=lr,
         lr_decay_steps=steps, weight_decay=1e-4,
-        near_native_rmsd=4.0, hinge_margin=20.0,
+        near_native_rmsd=near_native, hinge_margin=hinge,
         decoy_max_angle_deg=50.0, decoy_max_shift=8.0,
-        decoy_global_frac=0.35, mined_frac=1 / 3,
+        decoy_global_frac=global_frac, mined_frac=1 / 3,
         rotation_chunk=16, augment_rotations=True)
 
     complexes = make_complexes(seed0, n_train, widen=True,
