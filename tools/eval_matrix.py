@@ -11,6 +11,7 @@ Env: EM_NROT (global rotations, default 1536), EM_GRID (default 64),
      EM_COMPLEXES (default 8), EM_MODES ("global,local"), EM_WIDEN,
      EM_SEED0, EM_UNBOUND (deformation RMSD), EM_DTYPE,
      EM_BACKBONE (polymer-geometry fixtures, round-3 protocol),
+     EM_RANK (coupling_rank truncation for the learned rows),
      EM_RESCORE (top-N hierarchical rescoring in global mode).
 """
 from __future__ import annotations
@@ -122,8 +123,10 @@ def main():
         with open(os.path.join(ckpt, "config.json")) as f:
             tcfg = DockConfig.from_json(f.read())
         dt = os.environ.get("EM_DTYPE", "bfloat16")
+        rank = int(os.environ.get("EM_RANK", 0)) or None
         lcfg = tcfg.replace(compute_dtype=dt, dft_dtype=dt,
-                            lig_grid_size=None, **base)
+                            lig_grid_size=None, coupling_rank=rank,
+                            **base)
         trainer = Trainer(tcfg)
         state = trainer.restore(ckpt)
         lpipe = DockingPipeline(config=lcfg)
