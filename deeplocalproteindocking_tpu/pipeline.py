@@ -195,6 +195,13 @@ class DockingPipeline:
         DFT + coupling FLOPs then scale with r instead of C, with score
         error bounded by the discarded singular values.  Exact when
         r >= rank(A) (the analytic shape coupling has rank 2).
+
+        When the ligand CNN's LAST layer is linear (always true here —
+        activations sit between convs only), ``V_r`` additionally folds
+        INTO the final conv kernel, so the learned branch computes r
+        output channels instead of C directly (round-3: conv2 was ~half
+        the CNN cost at C2=14; folding makes it r-wide and deletes the
+        projection einsum — pure XLA, no custom kernel).
         """
         rep_fn = self._ligand_rep_fn()
         r = self.config.coupling_rank
@@ -203,12 +210,64 @@ class DockingPipeline:
         U, s, Vt = np.linalg.svd(np.asarray(coupling, np.float32))
         proj_rec = jnp.asarray(U[:, :r] * s[None, :r])   # [C, r]
         proj_lig = jnp.asarray(Vt[:r].T)                 # [C, r]
+        folded = self._folded_rep_fn(proj_lig)
+        if folded is not None:
+            return proj_rec, folded
 
         def rep_fn_r(vols):
             reps = rep_fn(vols)
             return jnp.einsum("...c,cr->...r", reps,
                               proj_lig.astype(reps.dtype))
         return proj_rec, rep_fn_r
+
+    def _folded_rep_fn(self, proj_lig):
+        """rep_fn computing ``represent(vols) @ proj_lig`` with the
+        projection folded into the last (linear) conv layer; None when
+        the model shape doesn't admit folding (shape mode)."""
+        if self.params is None:
+            return None
+        cfg = self.config
+        rep = self.params.get("representation", {})
+        cnn = rep.get("cnn", rep) if cfg.shape_prior else rep
+        try:
+            convs = [cnn[f"conv{i}"]
+                     for i in range(len(cfg.rep_features))]
+            kernels = [c["kernel"] for c in convs]
+            biases = [c.get("bias") for c in convs]
+        except (KeyError, TypeError):
+            return None
+        if cfg.shape_prior:
+            proj_prior = proj_lig[:2]                 # [2, r]
+            proj_learned = proj_lig[2:]               # [C2, r]
+        else:
+            proj_prior = None
+            proj_learned = proj_lig
+        w_last = jnp.einsum("xyzio,or->xyzir", kernels[-1],
+                            proj_learned)
+        b_last = (None if biases[-1] is None
+                  else biases[-1] @ proj_learned)      # [r]
+        dt = jnp.dtype(cfg.compute_dtype)
+        dn = ("NXYZC", "XYZIO", "NXYZC")
+
+        def conv(x, w, b):
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(dt), (1, 1, 1), "SAME",
+                dimension_numbers=dn)
+            return y if b is None else y + b.astype(y.dtype)
+
+        def rep_fn(vols):
+            x = vols.astype(dt)
+            for w, b in zip(kernels[:-1], biases[:-1]):
+                x = jax.nn.elu(conv(x, w, b))
+            y = conv(x, w_last, b_last).astype(jnp.float32)  # [..., r]
+            if proj_prior is not None:
+                from deeplocalproteindocking_tpu.models.representation \
+                    import shape_channels
+                prior = shape_channels(vols)[0]
+                y = y + jnp.einsum("...c,cr->...r", prior,
+                                   proj_prior.astype(prior.dtype))
+            return y
+        return rep_fn
 
     def _receptive_field(self) -> int:
         if self.params is None:

@@ -164,3 +164,34 @@ class TestCouplingRankTruncation:
         rb = b.rescore(cplx.receptor, cplx.ligand, pa, top=2, nrot=8)
         np.testing.assert_allclose(ra.scores[:2], rb.scores[:2],
                                    rtol=1e-4, atol=1e-4)
+
+    def test_folded_rep_fn_equals_projection(self):
+        """_folded_rep_fn (V_r folded into the last conv) must equal
+        represent(vols) @ V_r for hybrid (bias-free) and plain
+        (biased) models."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from deeplocalproteindocking_tpu.config import DockConfig
+        from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+        rng = np.random.default_rng(0)
+        vols = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 11))
+                           .astype(np.float32))
+        for sp in (True, False):
+            cfg = DockConfig(grid_size=16, rep_features=(8, 6),
+                             shape_prior=sp, coupling_rank=3)
+            pipe = DockingPipeline(config=cfg)
+            pipe.init_params(seed=3)
+            C = 6 + (2 if sp else 0)
+            proj = jnp.asarray(
+                rng.normal(size=(C, 3)).astype(np.float32))
+            folded = pipe._folded_rep_fn(proj)
+            assert folded is not None, sp
+            want = jnp.einsum(
+                "...c,cr->...r",
+                pipe.model.apply({"params": pipe.params}, vols,
+                                 method=pipe.model.represent), proj)
+            got = folded(vols)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)
