@@ -97,13 +97,55 @@ def cmd_dock(args):
     import dataclasses
     cfg = _build_config(args)
     pipe = _build_pipeline(cfg, args.checkpoint)
-    rec = parse_structure(args.receptor,
-                          model=args.receptor_model).typed()
-    lig = parse_structure(args.ligand, model=args.ligand_model).typed()
-    if args.receptor_chains:
-        rec = rec.chains(list(args.receptor_chains))
-    if args.ligand_chains:
-        lig = lig.chains(list(args.ligand_chains))
+
+    def load(path, model, chain_sel):
+        s = parse_structure(path, model=model).typed()
+        return s.chains(list(chain_sel)) if chain_sel else s
+
+    if args.ensemble:
+        if args.rescore_top or args.refine_steps:
+            raise SystemExit(
+                "--ensemble is incompatible with --rescore-top/"
+                "--refine-steps (rescoring is defined per model pair); "
+                "dock a single model pair instead")
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            count_models)
+        n_rec = count_models(args.receptor)
+        n_lig = count_models(args.ligand)
+        if args.max_models:
+            n_rec = min(n_rec, args.max_models)
+            n_lig = min(n_lig, args.max_models)
+        recs = [load(args.receptor, m + 1, args.receptor_chains)
+                for m in range(n_rec)]
+        ligs = [load(args.ligand, m + 1, args.ligand_chains)
+                for m in range(n_lig)]
+        print(f"ensemble dock: {n_rec} receptor x {n_lig} ligand "
+              f"models ({args.ensemble} pairing)")
+        with maybe_trace(args.profile):
+            poses, pairs = pipe.dock_ensemble(recs, ligs,
+                                              pairing=args.ensemble)
+        lig_models = [l.centered() for l in ligs]
+        os.makedirs(args.out, exist_ok=True)
+        for i in range(min(len(poses), args.num_out)):
+            src = lig_models[int(pairs[i, 1])]
+            s = dataclasses.replace(src)
+            s.coords = poses.ligand_coords(src.coords, i).astype(
+                np.float32)
+            write_pdb(os.path.join(args.out, f"pose_{i:03d}.pdb"), s)
+        table = [dict(rank=i, score=float(poses.scores[i]),
+                      rot_idx=int(poses.rot_idx[i]),
+                      shift=[int(v) for v in poses.shifts[i]],
+                      receptor_model=int(pairs[i, 0]) + 1,
+                      ligand_model=int(pairs[i, 1]) + 1)
+                 for i in range(len(poses))]
+        with open(os.path.join(args.out, "poses.json"), "w") as f:
+            json.dump(table, f, indent=2)
+        print(f"wrote {min(len(poses), args.num_out)} pose PDBs + "
+              f"poses.json to {args.out}")
+        return
+
+    rec = load(args.receptor, args.receptor_model, args.receptor_chains)
+    lig = load(args.ligand, args.ligand_model, args.ligand_chains)
     with maybe_trace(args.profile):
         poses = pipe.dock(rec, lig)
         if args.rescore_top:
@@ -308,6 +350,15 @@ def main(argv=None):
                         "pdbx_PDB_model_num)")
     p.add_argument("--ligand-model", type=int, default=1,
                    help="NMR model of the ligand file to dock")
+    p.add_argument("--ensemble", choices=["product", "zip"],
+                   default=None,
+                   help="dock ALL NMR models of both files and merge "
+                        "the ranked poses (product: every pair; zip: "
+                        "model i vs model i); overrides "
+                        "--receptor-model/--ligand-model")
+    p.add_argument("--max-models", type=int, default=0,
+                   help="with --ensemble, cap the models taken from "
+                        "each file (0 = all)")
     p.add_argument("--receptor-chains", default="",
                    help="chain letters to keep, e.g. 'AB'")
     p.add_argument("--ligand-chains", default="")

@@ -397,6 +397,73 @@ class DockingPipeline:
     def dock_complex(self, cplx: Complex, **kw) -> PoseSet:
         return self.dock(cplx.receptor, cplx.ligand, **kw)
 
+    def dock_ensemble(self, rec_models: list, lig_models: list,
+                      pairing: str = "product", cluster: bool = True,
+                      **kw):
+        """NMR-ensemble docking: dock model pairs, merge one ranked set.
+
+        The reference docks single conformers; multi-model (NMR) files
+        carry conformational uncertainty that rigid docking can exploit
+        by sweeping every model pair and ranking the union.  ``pairing``
+        is ``"product"`` (every receptor model x every ligand model) or
+        ``"zip"`` (model i with model i — matched-ensemble inputs).
+
+        Returns ``(poses, pairs)``: a merged score-ranked ``PoseSet``
+        plus an int ``[K, 2]`` array of (receptor_model, ligand_model)
+        0-based indices per pose.  Cross-model NMS uses the first
+        ligand model's coords as the cluster representative — NMR
+        ensembles share one deposition frame, so pose proximity across
+        models is meaningful at cluster-radius (~5 A) precision.
+        """
+        import itertools
+        if pairing == "product":
+            pair_list = list(itertools.product(range(len(rec_models)),
+                                               range(len(lig_models))))
+        elif pairing == "zip":
+            if len(rec_models) != len(lig_models):
+                raise ValueError(
+                    f"pairing='zip' needs equal model counts, got "
+                    f"{len(rec_models)} receptor vs {len(lig_models)} "
+                    f"ligand models")
+            pair_list = [(i, i) for i in range(len(rec_models))]
+        else:
+            raise ValueError(f"unknown pairing {pairing!r} "
+                             "(want 'product' or 'zip')")
+        if not pair_list:
+            raise ValueError("empty model ensemble")
+
+        parts, tags = [], []
+        for ri, li in pair_list:
+            # Per-pair clustering is skipped: NMS once, on the union.
+            poses = self.dock(rec_models[ri], lig_models[li],
+                              cluster=False, **kw)
+            parts.append(poses)
+            tags.extend([(ri, li)] * len(poses))
+
+        def cat(field):
+            return np.concatenate([getattr(p, field) for p in parts])
+
+        scores = cat("scores")
+        order = np.argsort(-scores, kind="stable")
+        merged = PoseSet(scores=scores[order],
+                         rotations=cat("rotations")[order],
+                         translations=cat("translations")[order],
+                         rot_idx=cat("rot_idx")[order],
+                         shifts=cat("shifts")[order])
+        pairs = np.asarray(tags, dtype=np.int64)[order]
+        if cluster and len(merged) > 1:
+            from deeplocalproteindocking_tpu.sweep.cluster import (
+                nms_cluster, pose_pairwise_rmsd)
+            rep = lig_models[0].centered().coords
+            D = pose_pairwise_rmsd(jnp.asarray(rep),
+                                   jnp.asarray(merged.rotations),
+                                   jnp.asarray(merged.translations))
+            keep = nms_cluster(merged.scores, D, self.config.nms_rmsd,
+                               max_out=self.config.top_k)
+            merged = PoseSet(*(np.asarray(f)[keep] for f in merged[:5]))
+            pairs = pairs[keep]
+        return merged, pairs
+
     # ---- hierarchical focused rescoring ----
     def rescore(self, rec: Structure, lig: Structure, poses: PoseSet,
                 top: int = 16, nrot: int = 48,

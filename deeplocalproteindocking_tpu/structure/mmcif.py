@@ -234,6 +234,59 @@ def parse_mmcif(path: str | os.PathLike,
                                 model=model)
 
 
+def count_models_mmcif_text(text: str) -> int:
+    """Number of distinct ``pdbx_PDB_model_num`` values in the
+    ``_atom_site`` loop (>= 1); rows without the column count as one
+    model, matching ``parse_mmcif_text``'s default."""
+    toks = _tokenize_cif(text)
+    n = len(toks)
+    models: list = []
+
+    def _is_kw(t, kw):
+        lit, s = t
+        return not lit and s.lower() == kw
+
+    def _is_tag(t):
+        lit, s = t
+        return not lit and s.startswith("_")
+
+    def _ends_loop(t):
+        lit, s = t
+        return not lit and (s.startswith("_")
+                            or s.lower() in ("loop_", "stop_")
+                            or s.lower().startswith("data_"))
+
+    i = 0
+    while i < n:
+        if not _is_kw(toks[i], "loop_"):
+            i += 1
+            continue
+        j = i + 1
+        cols = []
+        while j < n and _is_tag(toks[j]):
+            cols.append(toks[j][1])
+            j += 1
+        if not cols or not cols[0].startswith("_atom_site."):
+            while j < n and not _ends_loop(toks[j]):
+                j += 1
+            i = j
+            continue
+        idx = {c.split(".", 1)[1]: k for k, c in enumerate(cols)}
+        mcol = idx.get("pdbx_PDB_model_num")
+        nc = len(cols)
+        while j < n and not _ends_loop(toks[j]):
+            if j + nc > n:
+                break
+            m = toks[j + mcol][1] if mcol is not None else "1"
+            if m in (".", "?"):
+                m = "1"
+            if m not in models:
+                models.append(m)
+            j += nc
+        i = j
+    return max(len(models), 1)
+
+
 def parse_structure(path: str | os.PathLike,
                     include_hetatm: bool = False,
                     model: int = 1) -> Structure:
@@ -246,3 +299,16 @@ def parse_structure(path: str | os.PathLike,
     if p.lower().endswith((".cif", ".mmcif")):
         return parse_mmcif(p, include_hetatm=include_hetatm, model=model)
     return parse_pdb(p, include_hetatm=include_hetatm, model=model)
+
+
+def count_models(path: str | os.PathLike) -> int:
+    """Number of NMR models in a structure file (1 for single-model),
+    counted the same way ``parse_structure(model=k)`` selects them."""
+    from deeplocalproteindocking_tpu.structure.pdb import (
+        count_models_pdb_text)
+    p = str(path)
+    with open(p) as f:
+        text = f.read()
+    if p.lower().endswith((".cif", ".mmcif")):
+        return count_models_mmcif_text(text)
+    return count_models_pdb_text(text)

@@ -185,6 +185,17 @@ def parse_pdb_text(text: str, include_hetatm: bool = False,
     )
 
 
+def count_models_pdb_text(text: str) -> int:
+    """Number of NMR models declared by MODEL records (>= 1).
+
+    A file without MODEL records is a single implicit model — the same
+    rule ``parse_pdb_text`` applies when selecting ``model=1``.
+    """
+    n = sum(1 for line in text.splitlines()
+            if line[:6].startswith("MODEL"))
+    return max(n, 1)
+
+
 def parse_pdb(path: str | os.PathLike, include_hetatm: bool = False,
               model: int = 1) -> Structure:
     if model == 1:  # native fast path handles first-model-only
