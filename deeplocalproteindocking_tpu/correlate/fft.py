@@ -53,6 +53,44 @@ def receptor_transform(rec_rep: jax.Array,
                       coupling.astype(F_rec.real.dtype))
 
 
+def resolve_engine(fft_impl: str, grid_size: int) -> str:
+    """Concrete correlator engine for a config choice.
+
+    ``dft_fused`` (the production matmul-DFT + Pallas kernel) is tuned
+    for <=128^3 tiling; beyond that the overlap-save block engine
+    (correlate/blockfft.py, SURVEY.md §5.7) keeps peak memory at
+    O((block+Ls)^3) instead of O(L^3) spectra.  Single source of truth
+    for the dispatch used by pipeline.dock/rescore, batched evaluation
+    and training/mining (round-3 ADVICE: the auto-dispatch lived only
+    in dock(), so the other entry points crashed under
+    ``fft_impl='block'``).
+    """
+    if fft_impl == "dft_fused" and grid_size > 128:
+        return "block"
+    return fft_impl
+
+
+def coupled_receptor(rep_rec: jax.Array,
+                     coupling: jax.Array | None,
+                     fft_impl: str) -> jax.Array:
+    """The receptor-side tensor ``H`` each engine consumes.
+
+    Spectral engines take the coupled rfft half-spectrum
+    (:func:`receptor_transform`).  The ``block`` engine never forms a
+    full-grid spectrum — that is its point — so the coupling (or the
+    rank-truncated receptor projection, same einsum) folds into the
+    REAL-SPACE receptor rep instead, once per receptor; the score is
+    bilinear so either side works, and the receptor side is off the
+    per-rotation hot path.
+    """
+    if fft_impl == "block":
+        if coupling is None:
+            return rep_rec
+        return jnp.einsum("...c,cd->...d", rep_rec,
+                          coupling.astype(rep_rec.dtype))
+    return receptor_transform(rep_rec, coupling)
+
+
 def correlate_scores(H: jax.Array, lig_rep: jax.Array) -> jax.Array:
     """Score volume ``[L, L, L]``: S[t] for every circular shift t.
 

@@ -215,8 +215,6 @@ def run_benchmark_batched(pipeline: DockingPipeline,
     files as run_benchmark); a group only recomputes its unfinished
     members.
     """
-    from deeplocalproteindocking_tpu.correlate.fft import (
-        receptor_transform)
     from deeplocalproteindocking_tpu.data.benchmark import (
         structure_to_device)
     from deeplocalproteindocking_tpu.parallel.batch_eval import dock_batch
@@ -248,17 +246,20 @@ def run_benchmark_batched(pipeline: DockingPipeline,
             for c in group)
         H, lc, lt, lm, masks = [], [], [], [], []
         any_mask = False
-        cpl_parts = None
+        impl = rep_fn = None
         for c in group:
             rec_vol = pipeline.voxelize(c.receptor.centered(), max_atoms)
             lig_vol = pipeline.voxelize(c.ligand.centered(), max_atoms)
             rep_rec, _, coupling = pipeline.representations(rec_vol,
                                                             lig_vol)
-            if cpl_parts is None:
-                # Coupling comes from the (shared) params, identical
-                # across the group; one rep_fn serves the whole batch.
-                cpl_parts = pipeline._spectral_parts(coupling)
-            H.append(receptor_transform(rep_rec, cpl_parts[0]))
+            # Coupling comes from the (shared) params, identical across
+            # the group; one engine dispatch + rep_fn serves the whole
+            # batch (the rep_fn closure is memoized on the pipeline, so
+            # every group shares one compile).  _engine_parts also
+            # handles fft_impl='block' (round-3 ADVICE: this path built
+            # a spectrum unconditionally and crashed the block engine).
+            impl, H_c, rep_fn = pipeline._engine_parts(rep_rec, coupling)
+            H.append(H_c)
             a, b, m = structure_to_device(c.ligand.centered(), max_atoms)
             lc.append(a); lt.append(b); lm.append(m)
             # Same rails as pipeline.dock: wraparound guard + local
@@ -278,12 +279,13 @@ def run_benchmark_batched(pipeline: DockingPipeline,
             score_mask = None
         res = dock_batch(
             pipeline.mesh, jnp.stack(H), jnp.stack(lc), jnp.stack(lt),
-            jnp.stack(lm), rotations, cpl_parts[1],
+            jnp.stack(lm), rotations, rep_fn,
             grid_size=cfg.grid_size, lig_grid=lig_grid,
             resolution=cfg.resolution, sigma=cfg.sigma,
             num_types=cfg.num_atom_types, top_k=cfg.top_k,
             chunk=cfg.rotation_chunk, score_mask=score_mask,
-            fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype)
+            fft_impl=impl, dft_dtype=cfg.dft_dtype,
+            fft_block=cfg.fft_block)
         rot_np = np.asarray(rotations)
         for b_i, c in enumerate(group):
             shifts = np.asarray(res.shifts[b_i])

@@ -44,7 +44,8 @@ def dock_batch(mesh: Optional[Mesh],
                chunk: int = 8,
                score_mask: Optional[jax.Array] = None,
                fft_impl: str = "dft",
-               dft_dtype: str = "float32") -> DockResult:
+               dft_dtype: str = "float32",
+               fft_block: int = 32) -> DockResult:
     """Dock ``B`` complexes against one rotation set in one program.
 
     ``H_batch [B, L, L, L//2+1, C]`` coupled receptor spectra;
@@ -58,7 +59,7 @@ def dock_batch(mesh: Optional[Mesh],
     kw = dict(grid_size=grid_size, lig_grid=lig_grid,
               resolution=resolution, sigma=sigma, num_types=num_types,
               top_k=top_k, chunk=chunk, fft_impl=fft_impl,
-              dft_dtype=dft_dtype)
+              dft_dtype=dft_dtype, fft_block=fft_block)
 
     if mesh is None:
         if score_mask is None:

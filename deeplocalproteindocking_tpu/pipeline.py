@@ -28,6 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from deeplocalproteindocking_tpu.config import DockConfig
+from deeplocalproteindocking_tpu.correlate.fft import (
+    coupled_receptor, resolve_engine,
+)
 from deeplocalproteindocking_tpu.data.benchmark import (
     Complex, structure_to_device,
 )
@@ -127,6 +130,11 @@ class DockingPipeline:
             kernel=self.config.rep_kernel,
             dtype=jnp.dtype(self.config.compute_dtype),
             shape_prior=self.config.shape_prior)
+        # rep_fn closures are STATIC jit args of dock_sweep_resplat;
+        # returning a fresh closure per dock() call forced a full
+        # retrace per complex (the XLA compile was disk-cached, the
+        # seconds of tracing were not).  Memoized per params object.
+        self._closure_memo: dict = {}
 
     # ---- building blocks ----
     def init_params(self, seed: int = 0) -> dict:
@@ -203,6 +211,18 @@ class DockingPipeline:
         the CNN cost at C2=14; folding makes it r-wide and deletes the
         projection einsum — pure XLA, no custom kernel).
         """
+        # Memoized per (params, rank): ``coupling`` is always derived
+        # from self.params (or the fixed shape-mode constant), and the
+        # returned rep_fn closure must be IDENTITY-stable across calls
+        # — it is a static jit arg downstream (see __post_init__).
+        key = ("spectral", id(self.params), self.config.coupling_rank)
+        if key in self._closure_memo:
+            return self._closure_memo[key]
+        out = self._spectral_parts_uncached(coupling)
+        self._closure_memo[key] = out
+        return out
+
+    def _spectral_parts_uncached(self, coupling):
         rep_fn = self._ligand_rep_fn()
         r = self.config.coupling_rank
         if r is None or coupling is None or r >= min(coupling.shape):
@@ -269,6 +289,24 @@ class DockingPipeline:
             return y
         return rep_fn
 
+    def _engine_parts(self, rep_rec, coupling):
+        """``(impl, H, rep_fn)``: one correlator-engine dispatch shared
+        by dock/rescore/batched eval (round-3 ADVICE: the dispatch
+        lived only in dock(), so rescore/evaluate/mining crashed under
+        ``fft_impl='block'``).
+
+        ``impl`` is the resolved engine (dft_fused auto-falls-back to
+        the overlap-save block engine above 128^3); ``H`` is the
+        receptor-side tensor that engine consumes (coupled rfft
+        half-spectrum, or the real-space rep with coupling/rank
+        projection folded in for 'block'); ``rep_fn`` maps ligand
+        density volumes to the matching representation channels.
+        """
+        cfg = self.config
+        impl = resolve_engine(cfg.fft_impl, cfg.grid_size)
+        cpl_eff, rep_fn = self._spectral_parts(coupling)
+        return impl, coupled_receptor(rep_rec, cpl_eff, impl), rep_fn
+
     def _receptive_field(self) -> int:
         if self.params is None:
             return 3                      # shape mode: 2-voxel dilation + 1
@@ -305,13 +343,18 @@ class DockingPipeline:
              cluster: bool = True,
              translation_center: Optional[np.ndarray] = None,
              max_shift: Optional[float] = None,
-             prep=None) -> PoseSet:
+             prep=None, engine=None) -> PoseSet:
         """Dock centered structures; returns ranked (clustered) poses.
 
         Local docking (the reference's headline mode): pass a rotation
         set from ``rotation_set(native_R)`` plus ``translation_center``
         (signed voxel shift of the native pose) and ``max_shift``
         (Angstrom) to restrict the translational search around it.
+
+        ``engine`` is an optional precomputed ``_engine_parts`` tuple —
+        the receptor-side half of the correlator (including the
+        receptor FFT), cacheable across queries of the same receptor
+        (serving.DockingService, dock_ensemble).
         """
         cfg = self.config
         if prep is None:
@@ -322,34 +365,11 @@ class DockingPipeline:
         score_mask = dock_score_mask(cfg, lig_c, translation_center,
                                      max_shift)
         if cfg.sweep_mode == "resplat":
-            from deeplocalproteindocking_tpu.correlate.fft import (
-                receptor_transform)
             from deeplocalproteindocking_tpu.sweep.resplat import (
                 auto_ligand_grid, dock_sweep_resplat)
-            # Engine dispatch: the fused matmul-DFT correlator is tuned
-            # for <=128^3 tiling; beyond that the overlap-save block
-            # engine (correlate/blockfft.py, SURVEY.md §5.7) keeps peak
-            # memory at O((block+Ls)^3) instead of O(L^3) spectra.
-            impl = cfg.fft_impl
-            if impl == "dft_fused" and cfg.grid_size > 128:
-                impl = "block"
-            if impl == "block":
-                # No full-grid receptor spectrum is formed; the channel
-                # coupling folds into the per-rotation ligand reps
-                # (the score is bilinear, so either side works).
-                H = rep_rec
-                base_rep_fn = self._ligand_rep_fn()
-                cpl = coupling
-                if cpl is None:
-                    rep_fn = base_rep_fn
-                else:
-                    def rep_fn(vols):
-                        reps = base_rep_fn(vols)
-                        return jnp.einsum("...c,ec->...e", reps,
-                                          cpl.astype(reps.dtype))
-            else:
-                cpl_eff, rep_fn = self._spectral_parts(coupling)
-                H = receptor_transform(rep_rec, cpl_eff)
+            if engine is None:
+                engine = self._engine_parts(rep_rec, coupling)
+            impl, H, rep_fn = engine
             lc, lt, lm = structure_to_device(
                 lig_c, bucket=cfg.atom_bucket or None)
             lig_grid = cfg.lig_grid_size or auto_ligand_grid(
@@ -469,7 +489,7 @@ class DockingPipeline:
                 top: int = 16, nrot: int = 48,
                 cone_deg: float = 15.0, shift_vox: int = 3,
                 aggregate: str = "max", agg_top: int = 8,
-                prep=None) -> PoseSet:
+                prep=None, engine=None) -> PoseSet:
         """Re-rank top cluster heads by a dense local cone sweep each.
 
         A coarse global rotation set (covering radius ~10-15 deg at
@@ -502,7 +522,7 @@ class DockingPipeline:
         so the returned set never shrinks (round-2 ADVICE).
         """
         from deeplocalproteindocking_tpu.correlate.fft import (
-            receptor_transform, translation_mask)
+            translation_mask)
         from deeplocalproteindocking_tpu.sweep.resplat import (
             auto_ligand_grid, dock_sweep_resplat)
         cfg = self.config
@@ -512,8 +532,9 @@ class DockingPipeline:
         if prep is None:
             prep = self._prepare(rec, lig)
         rec_c, lig_c, rep_rec, rep_lig, coupling = prep
-        cpl_eff, rep_fn = self._spectral_parts(coupling)
-        H = receptor_transform(rep_rec, cpl_eff)
+        if engine is None:
+            engine = self._engine_parts(rep_rec, coupling)
+        impl, H, rep_fn = engine
         lc, lt, lm = structure_to_device(
             lig_c, bucket=cfg.atom_bucket or None)
         lig_grid = cfg.lig_grid_size or auto_ligand_grid(
@@ -543,8 +564,8 @@ class DockingPipeline:
                   resolution=cfg.resolution, sigma=cfg.sigma,
                   num_types=cfg.num_atom_types, top_k=K,
                   chunk=min(cfg.rotation_chunk, nrot),
-                  fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype,
-                  topk_impl=cfg.topk_impl)
+                  fft_impl=impl, dft_dtype=cfg.dft_dtype,
+                  topk_impl=cfg.topk_impl, fft_block=cfg.fft_block)
         res = jax.vmap(
             lambda rots, sm: dock_sweep_resplat(
                 H, lc, lt, lm, rots, rep_fn, score_mask=sm, **kw)
@@ -560,11 +581,15 @@ class DockingPipeline:
         ts = shifts[:, 0].astype(np.float32) * cfg.resolution
         order = np.argsort(-rank)
         # Unrescored tail keeps its coarse scores (comparable scale:
-        # same scoring function, sparser search; every rescored head
-        # score is >= its coarse score, which was >= every tail score,
-        # so heads-before-tail preserves a consistent "max" ranking).
+        # same scoring function, sparser search).  With
+        # aggregate="max" every rescored head score is >= its coarse
+        # score, which was >= every tail score, so heads-before-tail
+        # already preserves the ranking; with "topmean" a head's basin
+        # top-mean CAN fall below a tail pose's coarse score, so the
+        # combined set is re-sorted jointly on rank_scores (round-3
+        # ADVICE: the ordering invariant only held for "max").
         tail = slice(n, len(poses))
-        return PoseSet(
+        out = PoseSet(
             scores=np.concatenate([best[order],
                                    poses.scores[tail]]).astype(
                                        np.float32),
@@ -580,6 +605,11 @@ class DockingPipeline:
                                         poses.scores[tail]]).astype(
                                             np.float32),
         )
+        if aggregate == "topmean" and len(poses) > n:
+            joint = np.argsort(-out.rank_scores, kind="stable")
+            out = PoseSet(*(np.asarray(f)[joint] for f in out[:5]),
+                          rank_scores=out.rank_scores[joint])
+        return out
 
     # ---- continuous refinement (sweep/refine.py; no reference analog) ----
     def refine(self, rec: Structure, lig: Structure, poses: PoseSet,

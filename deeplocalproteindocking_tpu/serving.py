@@ -5,9 +5,11 @@ next-round #10): in screening workloads one receptor is docked against
 many ligands, but ``pipeline.dock`` recomputes the receptor half of the
 stack — voxelize, CNN representation, coupled FFT spectrum — on every
 call.  ``DockingService`` computes that half ONCE per receptor and
-caches the coupled spectrum ``H`` (the only receptor-derived tensor the
-resplat sweep consumes) keyed by a structure hash, so repeat queries
-pay only the ligand-side work (per-rotation splat + CNN + correlation).
+caches the full engine tuple — the resolved correlator, the coupled
+receptor tensor ``H`` (rfft half-spectrum, or the coupling-folded
+real-space rep for the block engine), and the ligand rep_fn — keyed by
+a structure hash, so repeat queries pay only the ligand-side work
+(per-rotation splat + CNN + correlation).
 
 The reference has no serving layer at all (single-GPU research scripts,
 SURVEY.md §1); this is a new TPU-native capability on top of
@@ -49,6 +51,7 @@ class _Entry:
     rec_c: Structure
     rep_rec: jax.Array
     coupling: Optional[jax.Array]
+    engine: tuple   # (impl, H, rep_fn) — pipeline._engine_parts
 
 
 class DockingService:
@@ -109,7 +112,9 @@ class DockingService:
                                        method=pipe.model.represent)
             coupling = pipe.params["coupling"]
         self._cache[key] = _Entry(rec_c=rec_c, rep_rec=rep_rec,
-                                  coupling=coupling)
+                                  coupling=coupling,
+                                  engine=pipe._engine_parts(rep_rec,
+                                                            coupling))
         while len(self._cache) > self.capacity:
             self._cache.popitem(last=False)       # LRU eviction
         return key
@@ -134,7 +139,8 @@ class DockingService:
         e = self._cache[key]
         lig_c, rep_lig = self._ligand_half(lig)
         prep = (e.rec_c, lig_c, e.rep_rec, rep_lig, e.coupling)
-        return self.pipeline.dock(rec, lig, prep=prep, **kw)
+        return self.pipeline.dock(rec, lig, prep=prep, engine=e.engine,
+                                  **kw)
 
     def rescore(self, rec: Structure, lig: Structure, poses: PoseSet,
                 **kw) -> PoseSet:
@@ -143,7 +149,8 @@ class DockingService:
         e = self._cache[key]
         lig_c, rep_lig = self._ligand_half(lig)
         prep = (e.rec_c, lig_c, e.rep_rec, rep_lig, e.coupling)
-        return self.pipeline.rescore(rec, lig, poses, prep=prep, **kw)
+        return self.pipeline.rescore(rec, lig, poses, prep=prep,
+                                     engine=e.engine, **kw)
 
     @property
     def stats(self) -> dict:

@@ -240,7 +240,8 @@ def score_decoys_resplat(H: jax.Array,
                          sigma: float,
                          num_types: int,
                          fft_impl: str = "dft",
-                         dft_dtype: str = "float32") -> jax.Array:
+                         dft_dtype: str = "float32",
+                         fft_block: int = 32) -> jax.Array:
     """Training path: scores of specific decoy poses ``(R_i, shift_i)``.
 
     Same model definition as the sweep (rotate coords -> splat -> CNN ->
@@ -276,7 +277,8 @@ def score_decoys_resplat(H: jax.Array,
                               grid_size=lig_grid, resolution=resolution,
                               sigma=sigma, num_types=num_types)
         rep = rep_fn(vol[None])
-        S = _correlate_batch(H, rep, grid_size, fft_impl, dft_dtype)[0]
+        S = _correlate_batch(H, rep, grid_size, fft_impl, dft_dtype,
+                             fft_block)[0]
         # Lattice gather: shifts may be float (augmented mined decoys).
         idx = jnp.mod(jnp.round(s).astype(jnp.int32), grid_size)
         return S[idx[0], idx[1], idx[2]]

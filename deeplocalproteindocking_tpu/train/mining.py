@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from deeplocalproteindocking_tpu.config import DockConfig
-from deeplocalproteindocking_tpu.correlate.fft import receptor_transform
+from deeplocalproteindocking_tpu.correlate.fft import (
+    coupled_receptor, resolve_engine,
+)
 from deeplocalproteindocking_tpu.data.benchmark import (
     Complex, structure_to_device,
 )
@@ -78,6 +80,7 @@ def mine_hard_negatives(model, params, cfg: DockConfig,
                             len(c.ligand.typed())) for c in complexes)
     rotations = super_fibonacci_rotations(n_rotations)
     lig_grid = train_lig_grid(cfg)
+    impl = resolve_engine(cfg.fft_impl, cfg.grid_size)
 
     def rep_fn(vols):
         return model.apply({"params": params}, vols,
@@ -93,14 +96,15 @@ def mine_hard_negatives(model, params, cfg: DockConfig,
             num_types=cfg.num_atom_types)
         rep_rec = model.apply({"params": params}, rec_vol,
                               method=model.represent)
-        H = receptor_transform(rep_rec, params["coupling"])
+        H = coupled_receptor(rep_rec, params["coupling"], impl)
         res = dock_sweep_resplat(
             H, lc, lt, lm, rotations, rep_fn,
             grid_size=cfg.grid_size, lig_grid=lig_grid,
             resolution=cfg.resolution, sigma=cfg.sigma,
             num_types=cfg.num_atom_types, top_k=top_k,
             chunk=min(cfg.rotation_chunk, n_rotations),
-            fft_impl=cfg.fft_impl, dft_dtype=cfg.dft_dtype)
+            fft_impl=impl, dft_dtype=cfg.dft_dtype,
+            fft_block=cfg.fft_block)
         Rs = rotations[res.rot_idx]
         shifts = res.shifts.astype(jnp.float32)
         nat = ((c.ligand.center - c.receptor.center)

@@ -16,7 +16,7 @@ import jax
 
 from deeplocalproteindocking_tpu.config import DockConfig
 from deeplocalproteindocking_tpu.correlate.fft import (
-    receptor_transform, score_at,
+    coupled_receptor, receptor_transform, resolve_engine, score_at,
 )
 from deeplocalproteindocking_tpu.grids.rotate import rotate_volume
 from deeplocalproteindocking_tpu.grids.voxelize import separable_splat
@@ -41,7 +41,8 @@ def complex_scores(model, cfg: DockConfig, params,
     if cfg.sweep_mode == "resplat":
         rep_rec = model.apply({"params": params}, rec_vol,
                               method=model.represent)
-        H = receptor_transform(rep_rec, params["coupling"])
+        impl = resolve_engine(cfg.fft_impl, cfg.grid_size)
+        H = coupled_receptor(rep_rec, params["coupling"], impl)
 
         def rep_fn(vols):
             return model.apply({"params": params}, vols,
@@ -51,8 +52,8 @@ def complex_scores(model, cfg: DockConfig, params,
             H, lig_c, lig_t, lig_m, d_rot, d_shift, rep_fn,
             grid_size=cfg.grid_size, lig_grid=train_lig_grid(cfg),
             resolution=cfg.resolution, sigma=cfg.sigma,
-            num_types=cfg.num_atom_types, fft_impl=cfg.fft_impl,
-            dft_dtype=cfg.dft_dtype)
+            num_types=cfg.num_atom_types, fft_impl=impl,
+            dft_dtype=cfg.dft_dtype, fft_block=cfg.fft_block)
 
     lig_vol = separable_splat(lig_c, lig_t, lig_m, **kw)
     rep_rec, rep_lig, coupling = model.apply(
