@@ -103,14 +103,7 @@ class DockingService:
             return key
         self.misses += 1
         pipe = self.pipeline
-        rec_c = rec.centered()
-        rec_vol = pipe.voxelize(rec_c)
-        if pipe.params is None:
-            rep_rec, coupling = shape_complementarity_reps(rec_vol)
-        else:
-            rep_rec = pipe.model.apply({"params": pipe.params}, rec_vol,
-                                       method=pipe.model.represent)
-            coupling = pipe.params["coupling"]
+        rec_c, rep_rec, coupling = pipe._receptor_half(rec)
         self._cache[key] = _Entry(rec_c=rec_c, rep_rec=rep_rec,
                                   coupling=coupling,
                                   engine=pipe._engine_parts(rep_rec,

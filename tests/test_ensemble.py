@@ -115,6 +115,41 @@ class TestDockEnsemble:
         np.testing.assert_allclose(poses.scores[0], max(singles),
                                    rtol=1e-5)
 
+    def test_product_preps_r_plus_l(self):
+        """Round-4: a product ensemble voxelizes R + L structures, not
+        R x L — the receptor half (voxelize + rep + FFT) is computed
+        once per model and pairs sweep as one batched program."""
+        import dataclasses
+        pipe = self._pipe()
+        c = synthetic_complex(seed=6, n_res_rec=6, n_res_lig=3)
+        rng = np.random.default_rng(1)
+
+        def jiggle(s):
+            s2 = dataclasses.replace(s)
+            s2.coords = (s.coords + rng.normal(0, 0.2, s.coords.shape)
+                         ).astype(np.float32)
+            return s2
+
+        recs = [c.receptor, jiggle(c.receptor)]
+        ligs = [c.ligand, jiggle(c.ligand), jiggle(c.ligand)]
+        calls = []
+        orig = DockingPipeline.voxelize
+        pipe.voxelize = lambda s, *a, **k: (calls.append(1),
+                                            orig(pipe, s, *a, **k))[1]
+        poses, pairs = pipe.dock_ensemble(recs, ligs)
+        # Only the R receptor halves voxelize; ligand models are
+        # device-padded directly (the sweep splats them per-rotation).
+        assert len(calls) == len(recs)
+        assert len(poses) == len(pairs)
+        # Every receptor and ligand model index can appear.
+        assert set(np.unique(pairs[:, 0])) <= {0, 1}
+        assert set(np.unique(pairs[:, 1])) <= {0, 1, 2}
+        # Merged top-1 == best single-pair top-1 (union semantics).
+        singles = [pipe.dock(r, l, cluster=False).scores[0]
+                   for r in recs for l in ligs]
+        np.testing.assert_allclose(poses.scores[0], max(singles),
+                                   rtol=1e-5)
+
     def test_zip_pairing_validation(self):
         pipe = self._pipe()
         c = synthetic_complex(seed=3, n_res_rec=5, n_res_lig=3)

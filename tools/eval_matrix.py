@@ -99,7 +99,21 @@ def main():
     backbone = os.environ.get("EM_BACKBONE", "0") == "1"
     complexes = heldout_complexes(n_cplx, widen=widen, seed0=seed0,
                                   unbound=unbound, backbone=backbone)
+    # Row-level resume: a TPU worker fault mid-matrix must not lose
+    # completed rows (measured round 4: a 48-complex rerank row died
+    # 2/3 of the way through the matrix and the whole run was lost).
     results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+        done = [k for k in results if k != "protocol"]
+        if done:
+            print(f"resuming: rows {done} already computed", flush=True)
+
+    def checkpoint_row():
+        with open(out_path + ".tmp", "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(out_path + ".tmp", out_path)
 
     for mode in modes:
         local = mode == "local"
@@ -112,9 +126,11 @@ def main():
         # Shape-complementarity baseline (params=None).
         shape_cfg = DockConfig(rep_features=(8,), **base)
         shape_pipe = DockingPipeline(config=shape_cfg)
-        results[f"shape_{mode}"] = eval_mode(shape_pipe, complexes,
-                                             mode, shape_cfg,
-                                             rescore_top=rescore_top)
+        if f"shape_{mode}" not in results:
+            results[f"shape_{mode}"] = eval_mode(shape_pipe, complexes,
+                                                 mode, shape_cfg,
+                                                 rescore_top=rescore_top)
+            checkpoint_row()
         print(mode, "shape:", results[f"shape_{mode}"]["top1"],
               results[f"shape_{mode}"]["top10"], flush=True)
 
@@ -131,9 +147,10 @@ def main():
         state = trainer.restore(ckpt)
         lpipe = DockingPipeline(config=lcfg)
         lpipe.params = state.params
-        results[f"learned_{mode}"] = eval_mode(lpipe, complexes, mode,
-                                               lcfg,
-                                               rescore_top=rescore_top)
+        if f"learned_{mode}" not in results:
+            results[f"learned_{mode}"] = eval_mode(
+                lpipe, complexes, mode, lcfg, rescore_top=rescore_top)
+            checkpoint_row()
         print(mode, "learned:", results[f"learned_{mode}"]["top1"],
               results[f"learned_{mode}"]["top10"], flush=True)
 
@@ -141,7 +158,8 @@ def main():
         # from the cheap scorer, learned model ranks them): shape sweep
         # -> learned dense-cone rescore of the top heads.
         if (os.environ.get("EM_RERANK", "0") == "1"
-                and mode == "global"):
+                and mode == "global"
+                and "learned_rerank_global" not in results):
             hits1 = hits10 = 0
             rows = []
             agg = os.environ.get("EM_AGG", "max")
@@ -163,6 +181,7 @@ def main():
             results["learned_rerank_global"] = dict(
                 top1=hits1 / len(complexes),
                 top10=hits10 / len(complexes), complexes=rows)
+            checkpoint_row()
             print("global learned_rerank:",
                   results["learned_rerank_global"]["top1"],
                   results["learned_rerank_global"]["top10"],
