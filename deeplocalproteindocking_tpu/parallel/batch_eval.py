@@ -59,7 +59,11 @@ def dock_batch(mesh: Optional[Mesh],
     kw = dict(grid_size=grid_size, lig_grid=lig_grid,
               resolution=resolution, sigma=sigma, num_types=num_types,
               top_k=top_k, chunk=chunk, fft_impl=fft_impl,
-              dft_dtype=dft_dtype, fft_block=fft_block)
+              dft_dtype=dft_dtype, fft_block=fft_block,
+              # The complex axis is a vmap over the whole sweep; a
+              # vmapped pallas_call of the fused invz+topk kernel
+              # faults the TPU worker (round 4) — keep it off here.
+              fused_topk=False)
 
     if mesh is None:
         if score_mask is None:

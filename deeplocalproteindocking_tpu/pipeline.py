@@ -746,7 +746,8 @@ class DockingPipeline:
                   num_types=cfg.num_atom_types, top_k=K,
                   chunk=min(cfg.rotation_chunk, nrot),
                   fft_impl=impl, dft_dtype=cfg.dft_dtype,
-                  topk_impl=cfg.topk_impl, fft_block=cfg.fft_block)
+                  topk_impl=cfg.topk_impl, fft_block=cfg.fft_block,
+                  fused_topk=False)
         res = jax.vmap(
             lambda rots, sm: dock_sweep_resplat(
                 H, lc, lt, lm, rots, rep_fn, score_mask=sm, **kw)

@@ -71,7 +71,7 @@ def embed_small(rep_small: jax.Array, grid_size: int) -> jax.Array:
     jax.jit,
     static_argnames=("rep_fn", "grid_size", "lig_grid", "resolution",
                      "sigma", "num_types", "top_k", "chunk", "fft_impl",
-                     "dft_dtype", "topk_impl", "fft_block"),
+                     "dft_dtype", "topk_impl", "fft_block", "fused_topk"),
 )
 def dock_sweep_resplat(H: jax.Array,
                        lig_coords: jax.Array,
@@ -92,7 +92,8 @@ def dock_sweep_resplat(H: jax.Array,
                        fft_impl: str = "dft",
                        dft_dtype: str = "float32",
                        topk_impl: str = "exact",
-                       fft_block: int = 32) -> DockResult:
+                       fft_block: int = 32,
+                       fused_topk: Optional[bool] = None) -> DockResult:
     """Full rotation sweep with per-rotation coordinate re-splatting.
 
     ``H`` is the coupled receptor spectrum (correlate/fft.py);
@@ -135,6 +136,26 @@ def dock_sweep_resplat(H: jax.Array,
                                grid_size=lig_grid, resolution=resolution,
                                sigma=sigma, num_types=num_types)
 
+    # Fused inverse-z + block-max path (correlate/pallas_invz_topk.py):
+    # the score volume never reaches HBM; exact top-K runs on in-VMEM
+    # block maxima + a D-space drill-down.  TPU-only (interpret-mode
+    # Pallas is too slow for sweeps; equivalence is asserted by
+    # tests/test_pallas_invz_topk.py).  DLPD_FUSED_TOPK=0 is the
+    # operational escape hatch: long eval/train jobs must never be
+    # blocked by a Mosaic regression in this kernel (round 4: a
+    # shape-cast compile failure at grid 64 stalled the held-out
+    # matrix for an hour of retries).
+    # ``fused_topk=None`` -> auto; ``False`` is required by callers that
+    # vmap this whole sweep (pipeline.rescore's per-head cone batch):
+    # a vmapped pallas_call of this kernel faults the TPU worker
+    # (observed round 4, rerank row of the held-out matrix).
+    import os as _os
+    fused_topk = (fused_topk is not False
+                  and fft_impl == "dft_fused" and topk_impl == "exact"
+                  and L % 32 == 0
+                  and jax.default_backend() == "tpu"
+                  and _os.environ.get("DLPD_FUSED_TOPK", "1") != "0")
+
     def step(carry, inp):
         c_scores, c_rot, c_flat = carry
         Rc, base = inp
@@ -143,26 +164,33 @@ def dock_sweep_resplat(H: jax.Array,
             vols = jax.vmap(splat_one)(coords_r)     # [chunk,Ls,Ls,Ls,T]
         with jax.named_scope("ligand_cnn"):
             reps = rep_fn(vols)                      # [chunk,Ls,Ls,Ls,C]
-        with jax.named_scope("fft_correlate"):
-            if fft_impl == "dft_fused":
-                S = _correlate_fused(Ht, reps, L, lig_grid, dft_dtype)
-            else:
-                S = _correlate_batch(H, reps, L, fft_impl, dft_dtype,
-                                     fft_block)
-        if score_mask is not None:
-            S = jnp.where(score_mask[None], S, neg_inf)
-        Sf = S.reshape(chunk, L * L * L)
-        with jax.named_scope("streaming_topk"):
-            if topk_impl == "approx":
-                # TPU-optimized approximate top-k (recall ~0.95 at
-                # default settings); candidates are re-merged exactly.
-                vals, flat = jax.lax.approx_max_k(Sf, top_k)
-            else:
-                # Exact two-stage block top-k (sweep/topk.py): same
-                # value multiset as lax.top_k, ~2.4x faster at 128^3.
-                from deeplocalproteindocking_tpu.sweep.topk import (
-                    exact_block_topk)
-                vals, flat = exact_block_topk(Sf, top_k)
+        if fused_topk:
+            with jax.named_scope("fused_correlate_topk"):
+                vals, flat = _fused_correlate_topk(
+                    Ht, reps, L, lig_grid, dft_dtype, score_mask,
+                    top_k)
+        else:
+            with jax.named_scope("fft_correlate"):
+                if fft_impl == "dft_fused":
+                    S = _correlate_fused(Ht, reps, L, lig_grid,
+                                         dft_dtype)
+                else:
+                    S = _correlate_batch(H, reps, L, fft_impl,
+                                         dft_dtype, fft_block)
+            if score_mask is not None:
+                S = jnp.where(score_mask[None], S, neg_inf)
+            Sf = S.reshape(chunk, L * L * L)
+            with jax.named_scope("streaming_topk"):
+                if topk_impl == "approx":
+                    # TPU-optimized approximate top-k (recall ~0.95 at
+                    # default settings); candidates re-merge exactly.
+                    vals, flat = jax.lax.approx_max_k(Sf, top_k)
+                else:
+                    # Exact two-stage block top-k (sweep/topk.py):
+                    # same value multiset as lax.top_k, ~2.4x faster.
+                    from deeplocalproteindocking_tpu.sweep.topk import (
+                        exact_block_topk)
+                    vals, flat = exact_block_topk(Sf, top_k)
         rot_ids = base + jnp.arange(chunk, dtype=jnp.int32)
         valid = rot_ids < num_valid
         vals = jnp.where(valid[:, None], vals, neg_inf)
@@ -200,6 +228,50 @@ def _correlate_fused(Ht, reps, grid_size, lig_grid, dft_dtype):
         Him = jnp.transpose(HtIm, (3, 2, 0, 1)).astype(jnp.float32)
         return corr.scores(Hre, Him, reps)
     return corr.scores_fused(Ht[0], Ht[1], reps)
+
+
+def _fused_correlate_topk(Ht, reps, grid_size, lig_grid, dft_dtype,
+                          score_mask, top_k, interpret=False):
+    """(vals, flat) top-K per rotation WITHOUT materializing S.
+
+    Same forward-z + fused_correlate front half as
+    DFTCorrelator.scores_fused; the Hermitian kz->z inverse, the
+    translation mask and the block-max reduce then run fused in VMEM
+    (correlate/pallas_invz_topk.py) and the exact top-K drills the
+    winning blocks back out of D.
+    """
+    from deeplocalproteindocking_tpu.correlate.pallas_fused import (
+        fused_correlate)
+    from deeplocalproteindocking_tpu.correlate.pallas_invz_topk import (
+        drill_topk, invz_blockmax)
+    f32 = jnp.float32
+    L = grid_size
+    corr = get_correlator(L, lig_grid, dft_dtype)
+    v = reps.astype(corr.dtype)
+    WzRe, WzIm, WyRe, WyIm, WxRe, WxIm = corr._cast(
+        corr.WzRe, corr.WzIm, corr.WyRe, corr.WyIm, corr.WxRe,
+        corr.WxIm)
+    UxRe, UxIm, UyRe, UyIm = corr._cast(
+        corr.UxRe, corr.UxIm, corr.UyRe, corr.UyIm)
+    are = jnp.einsum("bxyzc,zk->bkcxy", v, WzRe,
+                     preferred_element_type=f32)
+    aim = jnp.einsum("bxyzc,zk->bkcxy", v, WzIm,
+                     preferred_element_type=f32)
+    are, aim = corr._cast(are, aim)
+    Dre, Dim = fused_correlate(are, aim, Ht[0], Ht[1], WyRe, WyIm,
+                               WxRe, WxIm, UxRe, UxIm, UyRe, UyIm,
+                               interpret=interpret)
+    MzRe = jnp.asarray(corr.MzRe, f32)
+    MzIm = jnp.asarray(corr.MzIm, f32)
+    if score_mask is not None:
+        bias = jnp.where(score_mask, 0.0, -jnp.inf).astype(f32)
+        bias_flat = bias.reshape(-1)
+    else:
+        bias = jnp.zeros((L, L, L), f32)
+        bias_flat = None
+    bmax = invz_blockmax(Dre, Dim, MzRe, MzIm, bias,
+                         interpret=interpret)
+    return drill_topk(Dre, Dim, MzRe, MzIm, bias_flat, bmax, top_k)
 
 
 def _correlate_batch(H, reps, grid_size, fft_impl, dft_dtype,
