@@ -741,10 +741,19 @@ class DockingPipeline:
             masks.append(m if guard is None else m & guard)
         head_masks = jnp.stack(masks)             # [n, L, L, L]
         K = max(agg_top if aggregate == "topmean" else 1, 1)
+        # The head axis multiplies every per-scan-step activation
+        # (splat volumes, CNN features, score volumes) by n, so the
+        # in-scan rotation chunk must shrink by the same factor:
+        # rotation_chunk is tuned as the per-step rotation batch for
+        # ONE sweep, and n heads x chunk 64 at grid 64 is multiple GB
+        # of activations per step — enough to kill the TPU worker
+        # (round 3/4: the 48-complex rerank row died mid-run with
+        # 'TPU worker process crashed', reproducibly, until this).
+        chunk = max(1, min(cfg.rotation_chunk, nrot) // max(n, 1))
         kw = dict(grid_size=cfg.grid_size, lig_grid=lig_grid,
                   resolution=cfg.resolution, sigma=cfg.sigma,
                   num_types=cfg.num_atom_types, top_k=K,
-                  chunk=min(cfg.rotation_chunk, nrot),
+                  chunk=chunk,
                   fft_impl=impl, dft_dtype=cfg.dft_dtype,
                   topk_impl=cfg.topk_impl, fft_block=cfg.fft_block,
                   fused_topk=False)

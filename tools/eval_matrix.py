@@ -55,12 +55,43 @@ def heldout_complexes(n, widen=False, seed0=100, unbound=0.0,
                               backbone=backbone) for s in range(n)]
 
 
-def eval_mode(pipe, complexes, mode, cfg, rescore_top=0):
+def eval_row(dock_fn, complexes, label, partial=None, on_progress=None):
+    """Grade ``dock_fn(c)`` poses over ``complexes``, resumably.
+
+    ``partial`` is a list of already-graded row dicts (matched by
+    complex name) from an interrupted run; ``on_progress(rows)`` is
+    called after every complex so the caller can checkpoint.  Per-
+    complex resume matters: a TPU worker fault 40 complexes into a
+    48-complex row must not restart the row (round 4: three straight
+    rerank-row attempts died mid-row and the whole matrix stalled).
+    """
+    rows = list(partial or [])
+    done = {r["name"] for r in rows}
+    for c in complexes:
+        if c.name in done:
+            continue
+        graded = grade_poses(c, dock_fn(c))
+        h1 = bool(graded and graded[0]["capri"] != "incorrect")
+        h10 = any(g["capri"] != "incorrect" for g in graded[:10])
+        rows.append(dict(name=c.name, hit_top1=h1, hit_top10=h10,
+                         best_lrmsd=min((g["lrmsd"] for g in graded),
+                                        default=None)))
+        print(f"  {label} {c.name}: top1={h1} top10={h10}", flush=True)
+        if on_progress is not None:
+            on_progress(rows)
+    by_name = {r["name"]: r for r in rows}
+    rows = [by_name[c.name] for c in complexes]
+    n = len(complexes)
+    return dict(top1=sum(r["hit_top1"] for r in rows) / n,
+                top10=sum(r["hit_top10"] for r in rows) / n,
+                complexes=rows)
+
+
+def mode_dock_fn(pipe, mode, cfg, rescore_top=0):
     from deeplocalproteindocking_tpu.train.data_gen import (
         native_voxel_shift)
-    hits1 = hits10 = 0
-    rows = []
-    for c in complexes:
+
+    def dock_fn(c):
         kw = {}
         if mode == "local":
             kw["rotations"] = pipe.rotation_set(None)
@@ -71,16 +102,9 @@ def eval_mode(pipe, complexes, mode, cfg, rescore_top=0):
         if rescore_top and mode == "global":
             poses = pipe.rescore(c.receptor, c.ligand, poses,
                                  top=rescore_top)
-        graded = grade_poses(c, poses)
-        h1 = bool(graded and graded[0]["capri"] != "incorrect")
-        h10 = any(g["capri"] != "incorrect" for g in graded[:10])
-        hits1 += h1
-        hits10 += h10
-        rows.append(dict(name=c.name, hit_top1=h1, hit_top10=h10,
-                         best_lrmsd=min((g["lrmsd"] for g in graded),
-                                        default=None)))
-    n = len(complexes)
-    return dict(top1=hits1 / n, top10=hits10 / n, complexes=rows)
+        return poses
+
+    return dock_fn
 
 
 def main():
@@ -115,6 +139,22 @@ def main():
             json.dump(results, f, indent=2)
         os.replace(out_path + ".tmp", out_path)
 
+    def run_row(key, dock_fn, complexes):
+        """Compute one matrix row with per-complex checkpoint/resume."""
+        if key in results:
+            return
+        pkey = "_partial_" + key
+
+        def on_progress(rows):
+            results[pkey] = rows
+            checkpoint_row()
+
+        results[key] = eval_row(dock_fn, complexes, key,
+                                partial=results.get(pkey),
+                                on_progress=on_progress)
+        results.pop(pkey, None)
+        checkpoint_row()
+
     for mode in modes:
         local = mode == "local"
         base = dict(grid_size=grid, resolution=1.25,
@@ -126,11 +166,9 @@ def main():
         # Shape-complementarity baseline (params=None).
         shape_cfg = DockConfig(rep_features=(8,), **base)
         shape_pipe = DockingPipeline(config=shape_cfg)
-        if f"shape_{mode}" not in results:
-            results[f"shape_{mode}"] = eval_mode(shape_pipe, complexes,
-                                                 mode, shape_cfg,
-                                                 rescore_top=rescore_top)
-            checkpoint_row()
+        run_row(f"shape_{mode}",
+                mode_dock_fn(shape_pipe, mode, shape_cfg,
+                             rescore_top=rescore_top), complexes)
         print(mode, "shape:", results[f"shape_{mode}"]["top1"],
               results[f"shape_{mode}"]["top10"], flush=True)
 
@@ -147,41 +185,24 @@ def main():
         state = trainer.restore(ckpt)
         lpipe = DockingPipeline(config=lcfg)
         lpipe.params = state.params
-        if f"learned_{mode}" not in results:
-            results[f"learned_{mode}"] = eval_mode(
-                lpipe, complexes, mode, lcfg, rescore_top=rescore_top)
-            checkpoint_row()
+        run_row(f"learned_{mode}",
+                mode_dock_fn(lpipe, mode, lcfg,
+                             rescore_top=rescore_top), complexes)
         print(mode, "learned:", results[f"learned_{mode}"]["top1"],
               results[f"learned_{mode}"]["top10"], flush=True)
 
         # Two-stage (the reference's own architecture: global candidates
         # from the cheap scorer, learned model ranks them): shape sweep
         # -> learned dense-cone rescore of the top heads.
-        if (os.environ.get("EM_RERANK", "0") == "1"
-                and mode == "global"
-                and "learned_rerank_global" not in results):
-            hits1 = hits10 = 0
-            rows = []
+        if os.environ.get("EM_RERANK", "0") == "1" and mode == "global":
             agg = os.environ.get("EM_AGG", "max")
-            for c in complexes:
+
+            def rerank_fn(c):
                 poses = shape_pipe.dock_complex(c)
-                top = lpipe.rescore(c.receptor, c.ligand, poses,
-                                    top=16, aggregate=agg)
-                graded = grade_poses(c, top)
-                h1 = bool(graded
-                          and graded[0]["capri"] != "incorrect")
-                h10 = any(g["capri"] != "incorrect"
-                          for g in graded[:10])
-                hits1 += h1
-                hits10 += h10
-                rows.append(dict(
-                    name=c.name, hit_top1=h1, hit_top10=h10,
-                    best_lrmsd=min((g["lrmsd"] for g in graded),
-                                   default=None)))
-            results["learned_rerank_global"] = dict(
-                top1=hits1 / len(complexes),
-                top10=hits10 / len(complexes), complexes=rows)
-            checkpoint_row()
+                return lpipe.rescore(c.receptor, c.ligand, poses,
+                                     top=16, aggregate=agg)
+
+            run_row("learned_rerank_global", rerank_fn, complexes)
             print("global learned_rerank:",
                   results["learned_rerank_global"]["top1"],
                   results["learned_rerank_global"]["top10"],
