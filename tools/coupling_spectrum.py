@@ -28,15 +28,35 @@ def main():
         cfg = DockConfig.from_json(f.read())
     state = Trainer(cfg).restore(ckpt)
     A = np.asarray(state.params["coupling"], np.float64)
-    s = np.linalg.svd(A, compute_uv=False)
+    U, s, Vt = np.linalg.svd(A)
     e = s ** 2
     cum = np.cumsum(e) / e.sum()
-    print(f"coupling {A.shape}, singular values:")
-    for i, (sv, c) in enumerate(zip(s, cum)):
-        print(f"  r={i + 1:2d}  s={sv:9.4f}  cumulative energy {c:.5f}")
-    for thr in (0.99, 0.999):
-        r = int(np.searchsorted(cum, thr) + 1)
-        print(f"rank covering {thr:.1%} energy: {r}")
+    # DEVIATION CAPTURE is the licensing criterion, not energy: the
+    # hybrid's coupling is dominated by the +-core_weight shape block
+    # (99.99% of energy), but what training LEARNED is the deviation
+    # from that block — and a truncation can keep all the energy while
+    # discarding most of the deviation.  Measured round 4 (v9p,
+    # held-out 48): rank 2 kept 99.992% energy but only 29% of the
+    # deviation and collapsed global top-1 0.333 -> 0.167 (below the
+    # 0.271 shape baseline); rank 3 kept 96% of the deviation and was
+    # hit-rate-identical to full rank AND to fp32.
+    SB = np.zeros_like(A)
+    SB[0, 0] = 1.0
+    if A.shape[0] > 1:
+        SB[1, 1] = -getattr(cfg, "shape_core_weight", 12.0)
+    dev = np.linalg.norm(A - SB)
+    print(f"coupling {A.shape}, ||A - shape_block|| = {dev:.4f}:")
+    for r in range(1, len(s) + 1):
+        Ar = (U[:, :r] * s[:r]) @ Vt[:r]
+        lost = np.linalg.norm(A - Ar)
+        kept = 1.0 - lost / dev if dev > 0 else 1.0
+        print(f"  r={r:2d}  s={s[r - 1]:9.4f}  energy {cum[r - 1]:.5f}"
+              f"  trunc-err {lost:.4f}  deviation kept {kept:6.1%}")
+    ok = [r for r in range(1, len(s) + 1)
+          if np.linalg.norm(A - (U[:, :r] * s[:r]) @ Vt[:r])
+          <= 0.05 * dev]
+    print(f"smallest rank keeping >=95% of the learned deviation: "
+          f"{ok[0] if ok else len(s)}")
 
 
 if __name__ == "__main__":
