@@ -17,8 +17,11 @@ Prints ONE JSON line:
 
 Env knobs: BENCH_ROTATIONS, BENCH_GRID, BENCH_CHUNK, BENCH_FFT
 ("dft"|"xla"), BENCH_DTYPE ("float32"|"bfloat16"), BENCH_RANK
-(coupling_rank SVD truncation; the flagship's trained coupling is
-~rank-2, tools/coupling_spectrum.py), BENCH_PROBE_ONLY=1.
+(coupling_rank SVD truncation; default 3 — licensed round 4 by the
+held-out 48-complex columns: rank-3 == full-rank == fp32 on every hit
+decision, while rank-2 keeps the energy but drops 71% of the learned
+coupling deviation and collapses top-1 below the shape baseline; 0
+runs full-rank), BENCH_PROBE_ONLY=1.
 """
 from __future__ import annotations
 
@@ -38,7 +41,7 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 128))
     fft_impl = os.environ.get("BENCH_FFT", "dft_fused")
     dft_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    rank = int(os.environ.get("BENCH_RANK", 0)) or None
+    rank = int(os.environ.get("BENCH_RANK", 3)) or None
     probe_only = os.environ.get("BENCH_PROBE_ONLY", "0") == "1"
 
     import jax

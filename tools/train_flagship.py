@@ -113,11 +113,17 @@ def main():
     global_frac = float(os.environ.get("TF_GLOBAL_FRAC", 0.35))
     near_native = float(os.environ.get("TF_NEAR_NATIVE", 4.0))
     hinge = float(os.environ.get("TF_MARGIN", 20.0))
+    # CNN stack widths (round 4: v9p's train ranking accuracy
+    # plateaued at 0.652 — underfit — so capacity is a recipe knob).
+    features = tuple(int(x) for x in
+                     os.environ.get("TF_FEATURES", "32,14").split(","))
 
     cfg = DockConfig(
-        grid_size=grid, resolution=1.25, rep_features=(32, 14),
-        shape_prior=True,   # 14 learned + 2 prior channels = 16 total
-                            # (keeps the fused kernel's C=16 tiling)
+        grid_size=grid, resolution=1.25, rep_features=features,
+        shape_prior=True,   # learned ++ 2 prior channels (default
+                            # 14+2=16 keeps the fused kernel's C=16
+                            # tiling; eval absorbs wider stacks via
+                            # the licensed rank-r coupling fold)
         num_decoys=24, batch_complexes=2, learning_rate=lr,
         lr_decay_steps=steps, weight_decay=1e-4,
         near_native_rmsd=near_native, hinge_margin=hinge,
