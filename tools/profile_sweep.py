@@ -115,6 +115,24 @@ def make_scan(stage, H, lc, lt, lm, rep_fn, *, grid, lig_grid, res, sigma,
                     UxRe, UxIm, UyRe, UyIm)
                 if stage == "kernel":
                     return (acc + Dre.sum() + Dim.sum(), ts, tr, tf), None
+                if stage == "fusedtopk":
+                    # Production tail (round 4): fused inverse-z +
+                    # block-max kernel + drill-down exact top-K — the
+                    # score volume never reaches HBM.
+                    from deeplocalproteindocking_tpu.correlate.\
+                        pallas_invz_topk import drill_topk, invz_blockmax
+                    Mre = jnp.asarray(corr.MzRe, f32)
+                    Mim = jnp.asarray(corr.MzIm, f32)
+                    bias = jnp.zeros((L, L, L), f32)
+                    bmax = invz_blockmax(Dre, Dim, Mre, Mim, bias)
+                    vals, flat = drill_topk(Dre, Dim, Mre, Mim, None,
+                                            bmax, top_k)
+                    new_ts = jnp.concatenate([ts, vals.reshape(-1)])
+                    new_tr = jnp.concatenate(
+                        [tr, jnp.zeros(vals.size, jnp.int32)])
+                    new_tf = jnp.concatenate([tf, flat.reshape(-1)])
+                    best, sel = jax.lax.top_k(new_ts, top_k)
+                    return (acc, best, new_tr[sel], new_tf[sel]), None
                 S = (jnp.einsum("bkxy,kz->bxyz", Dre, MzRe,
                                 preferred_element_type=f32)
                      - jnp.einsum("bkxy,kz->bxyz", Dim, MzIm,
@@ -182,7 +200,9 @@ def main():
 
     if os.environ.get("PROF_FUSED", "0") == "1":
         stages = ["rotate", "splat", "cnn", "zpass", "kernel",
-                  "inverse", "topk"]
+                  "fusedtopk"]
+        if os.environ.get("PROF_OLDTAIL", "0") == "1":
+            stages = stages[:-1] + ["inverse", "topk"]
     else:
         stages = ["rotate", "splat", "cnn", "fwd", "couple", "inverse",
                   "topk"]
