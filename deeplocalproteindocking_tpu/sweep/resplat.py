@@ -148,13 +148,20 @@ def dock_sweep_resplat(H: jax.Array,
     # ``fused_topk=None`` -> auto; ``False`` is required by callers that
     # vmap this whole sweep (pipeline.rescore's per-head cone batch):
     # a vmapped pallas_call of this kernel faults the TPU worker
-    # (observed round 4, rerank row of the held-out matrix).
+    # (observed round 4, rerank row of the held-out matrix).  Auto
+    # only engages on compile-validated grids (64, 128); other
+    # 32-multiples need DLPD_FUSED_TOPK=1 (force) — Mosaic layout
+    # inference has rejected untested shape variants of this kernel
+    # before, and a long job must fail into the score-volume path, not
+    # at compile.  DLPD_FUSED_TOPK=0 disables everywhere.
     import os as _os
+    _env = _os.environ.get("DLPD_FUSED_TOPK", "")
     fused_topk = (fused_topk is not False
                   and fft_impl == "dft_fused" and topk_impl == "exact"
                   and L % 32 == 0
+                  and (L in (64, 128) or _env == "1")
                   and jax.default_backend() == "tpu"
-                  and _os.environ.get("DLPD_FUSED_TOPK", "1") != "0")
+                  and _env != "0")
 
     def step(carry, inp):
         c_scores, c_rot, c_flat = carry
