@@ -152,15 +152,17 @@ class DFTCorrelator:
         Ht = jnp.transpose(H, (2, 3, 1, 0))
         return (Ht.real.astype(self.dtype), Ht.imag.astype(self.dtype))
 
-    def scores_fused(self, HtRe: jax.Array, HtIm: jax.Array,
-                     vols: jax.Array, interpret: bool = False) -> jax.Array:
-        """Score volumes via the fused Pallas kernel.
+    def fused_D(self, HtRe: jax.Array, HtIm: jax.Array,
+                vols: jax.Array, interpret: bool = False):
+        """``D (re, im) [b, K, X, Y]`` via the fused Pallas kernel.
 
         ``HtRe/HtIm`` from :meth:`prep_H`; ``vols [b, Ls, Ls, Ls, C]``.
         The z forward pass runs in XLA emitting the kernel's
         ``[b, k, c, x, y]`` layout; the kernel fuses forward-y/x +
-        coupling + inverse-x/y; the Hermitian kz->z inverse is one XLA
-        contraction.
+        coupling + inverse-x/y.  D is the input both of the Hermitian
+        kz->z inverse (:meth:`scores_fused`) and of the fused
+        inverse+block-max top-K tail (correlate/pallas_invz_topk.py) —
+        ONE implementation so the two paths can never diverge.
         """
         from deeplocalproteindocking_tpu.correlate.pallas_fused import (
             fused_correlate)
@@ -169,18 +171,26 @@ class DFTCorrelator:
         WzRe, WzIm, WyRe, WyIm, WxRe, WxIm = self._cast(
             self.WzRe, self.WzIm, self.WyRe, self.WyIm, self.WxRe,
             self.WxIm)
-        UxRe, UxIm, UyRe, UyIm, MzRe, MzIm = self._cast(
-            self.UxRe, self.UxIm, self.UyRe, self.UyIm, self.MzRe,
-            self.MzIm)
+        UxRe, UxIm, UyRe, UyIm = self._cast(
+            self.UxRe, self.UxIm, self.UyRe, self.UyIm)
         # z: real x complex -> [b, k, c, x, y]
         are = jnp.einsum("bxyzc,zk->bkcxy", v, WzRe,
                          preferred_element_type=f32)
         aim = jnp.einsum("bxyzc,zk->bkcxy", v, WzIm,
                          preferred_element_type=f32)
         are, aim = self._cast(are, aim)
-        Dre, Dim = fused_correlate(
+        return fused_correlate(
             are, aim, HtRe, HtIm, WyRe, WyIm, WxRe, WxIm,
             UxRe, UxIm, UyRe, UyIm, interpret=interpret)
+
+    def scores_fused(self, HtRe: jax.Array, HtIm: jax.Array,
+                     vols: jax.Array, interpret: bool = False) -> jax.Array:
+        """Score volumes via the fused Pallas kernel (see
+        :meth:`fused_D`); the Hermitian kz->z inverse is one XLA
+        contraction."""
+        f32 = jnp.float32
+        Dre, Dim = self.fused_D(HtRe, HtIm, vols, interpret=interpret)
+        MzRe, MzIm = self._cast(self.MzRe, self.MzIm)
         # Hermitian kz -> z: S = Re{ sum_k D * Mz }
         return (jnp.einsum("bkxy,kz->bxyz", Dre, MzRe,
                            preferred_element_type=f32)

@@ -128,7 +128,13 @@ def sharded_dock_sweep_resplat(mesh: Mesh,
             num_types=num_types, top_k=top_k, chunk=chunk,
             score_mask=score_mask, num_valid=local_valid,
             fft_impl=fft_impl, dft_dtype=dft_dtype,
-            topk_impl=topk_impl, fft_block=fft_block)
+            topk_impl=topk_impl, fft_block=fft_block,
+            # The fused invz+topk pallas_call faults the TPU worker
+            # under vmap, and under shard_map it is fault-UNVALIDATED
+            # (no multi-chip hardware this round) — pin the proven
+            # score-volume path; flip after a real multi-chip
+            # validation run, not before.
+            fused_topk=False)
         rot_idx = res.rot_idx + base
         valid = rot_idx < n_valid
         scores = jnp.where(valid, res.scores, -jnp.inf)

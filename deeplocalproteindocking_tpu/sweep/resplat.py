@@ -145,23 +145,30 @@ def dock_sweep_resplat(H: jax.Array,
     # blocked by a Mosaic regression in this kernel (round 4: a
     # shape-cast compile failure at grid 64 stalled the held-out
     # matrix for an hour of retries).
-    # ``fused_topk=None`` -> auto; ``False`` is required by callers that
-    # vmap this whole sweep (pipeline.rescore's per-head cone batch):
-    # a vmapped pallas_call of this kernel faults the TPU worker
-    # (observed round 4, rerank row of the held-out matrix).  Auto
-    # only engages on compile-validated grids (64, 128); other
-    # 32-multiples need DLPD_FUSED_TOPK=1 (force) — Mosaic layout
-    # inference has rejected untested shape variants of this kernel
-    # before, and a long job must fail into the score-volume path, not
-    # at compile.  DLPD_FUSED_TOPK=0 disables everywhere.
+    # Tri-state ``fused_topk``: ``None`` -> auto, ``False`` -> off,
+    # ``True`` -> force past the grid allowlist (still requires the
+    # dft_fused engine, exact top-K and a 32-multiple grid).  ``False``
+    # is required by callers that vmap this whole sweep
+    # (pipeline.rescore's per-head cone batch, parallel.batch_eval's
+    # complex batch): a vmapped pallas_call of this kernel faults the
+    # TPU worker (observed round 4, rerank row of the held-out
+    # matrix).  Auto only engages on compile-validated grids
+    # (64, 128) — Mosaic layout inference has rejected untested shape
+    # variants of this kernel before, and a long job must fail into
+    # the score-volume path, not at compile.  DLPD_FUSED_TOPK=0/1
+    # overrides auto from the environment; it is read at TRACE time,
+    # so changing it inside a process does not affect already-compiled
+    # sweeps (restart semantics, like XLA_FLAGS).
     import os as _os
     _env = _os.environ.get("DLPD_FUSED_TOPK", "")
-    fused_topk = (fused_topk is not False
-                  and fft_impl == "dft_fused" and topk_impl == "exact"
-                  and L % 32 == 0
-                  and (L in (64, 128) or _env == "1")
-                  and jax.default_backend() == "tpu"
-                  and _env != "0")
+    _eligible = (fft_impl == "dft_fused" and topk_impl == "exact"
+                 and L % 32 == 0
+                 and jax.default_backend() == "tpu")
+    if fused_topk is None:
+        fused_topk = (_eligible and (L in (64, 128) or _env == "1")
+                      and _env != "0")
+    else:
+        fused_topk = bool(fused_topk) and _eligible and _env != "0"
 
     def step(carry, inp):
         c_scores, c_rot, c_flat = carry
@@ -247,27 +254,12 @@ def _fused_correlate_topk(Ht, reps, grid_size, lig_grid, dft_dtype,
     (correlate/pallas_invz_topk.py) and the exact top-K drills the
     winning blocks back out of D.
     """
-    from deeplocalproteindocking_tpu.correlate.pallas_fused import (
-        fused_correlate)
     from deeplocalproteindocking_tpu.correlate.pallas_invz_topk import (
         drill_topk, invz_blockmax)
     f32 = jnp.float32
     L = grid_size
     corr = get_correlator(L, lig_grid, dft_dtype)
-    v = reps.astype(corr.dtype)
-    WzRe, WzIm, WyRe, WyIm, WxRe, WxIm = corr._cast(
-        corr.WzRe, corr.WzIm, corr.WyRe, corr.WyIm, corr.WxRe,
-        corr.WxIm)
-    UxRe, UxIm, UyRe, UyIm = corr._cast(
-        corr.UxRe, corr.UxIm, corr.UyRe, corr.UyIm)
-    are = jnp.einsum("bxyzc,zk->bkcxy", v, WzRe,
-                     preferred_element_type=f32)
-    aim = jnp.einsum("bxyzc,zk->bkcxy", v, WzIm,
-                     preferred_element_type=f32)
-    are, aim = corr._cast(are, aim)
-    Dre, Dim = fused_correlate(are, aim, Ht[0], Ht[1], WyRe, WyIm,
-                               WxRe, WxIm, UxRe, UxIm, UyRe, UyIm,
-                               interpret=interpret)
+    Dre, Dim = corr.fused_D(Ht[0], Ht[1], reps, interpret=interpret)
     MzRe = jnp.asarray(corr.MzRe, f32)
     MzIm = jnp.asarray(corr.MzIm, f32)
     if score_mask is not None:

@@ -61,27 +61,11 @@ def test_blockmax_kernel_matches_reduce():
     from deeplocalproteindocking_tpu.correlate.pallas_invz_topk import (
         YB, invz_blockmax)
     corr, H, reps, S = _setup(seed=2)
-    Hre = H.real.astype(jnp.float32)
-    Him = H.imag.astype(jnp.float32)
-    # D from the einsum inverse's intermediate: recompute via the
-    # fused kernel front half to match the production input exactly.
-    from deeplocalproteindocking_tpu.correlate.pallas_fused import (
-        fused_correlate)
     f32 = jnp.float32
-    v = reps.astype(corr.dtype)
-    are = jnp.einsum("bxyzc,zk->bkcxy", v,
-                     jnp.asarray(corr.WzRe, f32),
-                     preferred_element_type=f32)
-    aim = jnp.einsum("bxyzc,zk->bkcxy", v,
-                     jnp.asarray(corr.WzIm, f32),
-                     preferred_element_type=f32)
+    # D exactly as production builds it (DFTCorrelator.fused_D is the
+    # single shared implementation).
     HtRe, HtIm = corr.prep_H(H)
-    cast = lambda *xs: tuple(jnp.asarray(x, f32) for x in xs)
-    Dre, Dim = fused_correlate(
-        are, aim, HtRe, HtIm,
-        *cast(corr.WyRe, corr.WyIm, corr.WxRe, corr.WxIm,
-              corr.UxRe, corr.UxIm, corr.UyRe, corr.UyIm),
-        interpret=True)
+    Dre, Dim = corr.fused_D(HtRe, HtIm, reps, interpret=True)
     bias = jnp.zeros((L, L, L), f32)
     bmax = invz_blockmax(Dre, Dim, jnp.asarray(corr.MzRe, f32),
                          jnp.asarray(corr.MzIm, f32), bias,

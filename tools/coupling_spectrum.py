@@ -40,12 +40,23 @@ def main():
     # deviation and collapsed global top-1 0.333 -> 0.167 (below the
     # 0.271 shape baseline); rank 3 kept 96% of the deviation and was
     # hit-rate-identical to full rank AND to fp32.
-    SB = np.zeros_like(A)
-    SB[0, 0] = 1.0
-    if A.shape[0] > 1:
-        SB[1, 1] = -getattr(cfg, "shape_core_weight", 12.0)
+    if getattr(cfg, "shape_prior", False):
+        # Hybrid model: channels 0-1 are [surface, core] with the
+        # canonical coupling diag(1, -core_weight) — the init the
+        # training objective deviates FROM (models/representation.py
+        # shape_channels; core_weight default 12.0 there).
+        SB = np.zeros_like(A)
+        SB[0, 0] = 1.0
+        if A.shape[0] > 1:
+            SB[1, 1] = -12.0
+        prior_name = "shape_block"
+    else:
+        # Plain scoring model: identity-init coupling
+        # (models/scoring.py) is the zero point.
+        SB = np.eye(*A.shape)
+        prior_name = "identity"
     dev = np.linalg.norm(A - SB)
-    print(f"coupling {A.shape}, ||A - shape_block|| = {dev:.4f}:")
+    print(f"coupling {A.shape}, ||A - {prior_name}|| = {dev:.4f}:")
     for r in range(1, len(s) + 1):
         Ar = (U[:, :r] * s[:r]) @ Vt[:r]
         lost = np.linalg.norm(A - Ar)

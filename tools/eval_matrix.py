@@ -126,11 +126,23 @@ def main():
     # Row-level resume: a TPU worker fault mid-matrix must not lose
     # completed rows (measured round 4: a 48-complex rerank row died
     # 2/3 of the way through the matrix and the whole run was lost).
+    # Fingerprint of every env knob that changes what a row MEANS: a
+    # partial row resumed under a different protocol would silently mix
+    # two configurations inside one row (exactly the licensing
+    # comparisons this matrix exists for), so partials carry this and
+    # are discarded on mismatch.
+    fingerprint = dict(n_rot=n_rot, grid=grid, n_cplx=n_cplx,
+                      widen=widen, seed0=seed0, unbound=unbound,
+                      backbone=backbone, rescore=rescore_top,
+                      dtype=os.environ.get("EM_DTYPE", "bfloat16"),
+                      rank=int(os.environ.get("EM_RANK", 0)),
+                      agg=os.environ.get("EM_AGG", "max"))
     results = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
-        done = [k for k in results if k != "protocol"]
+        done = [k for k in results
+                if k != "protocol" and not k.startswith("_partial_")]
         if done:
             print(f"resuming: rows {done} already computed", flush=True)
 
@@ -144,13 +156,24 @@ def main():
         if key in results:
             return
         pkey = "_partial_" + key
+        partial = results.get(pkey)
+        if isinstance(partial, list):      # pre-fingerprint format
+            partial = dict(fingerprint=None, rows=partial)
+        if partial is not None:
+            if partial.get("fingerprint") != fingerprint:
+                print(f"discarding partial {key}: protocol changed "
+                      f"({partial.get('fingerprint')} -> {fingerprint})",
+                      flush=True)
+                partial = None
+            else:
+                partial = partial.get("rows")
 
         def on_progress(rows):
-            results[pkey] = rows
+            results[pkey] = dict(fingerprint=fingerprint, rows=rows)
             checkpoint_row()
 
         results[key] = eval_row(dock_fn, complexes, key,
-                                partial=results.get(pkey),
+                                partial=partial,
                                 on_progress=on_progress)
         results.pop(pkey, None)
         checkpoint_row()

@@ -27,8 +27,6 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-
 import jax
 import jax.numpy as jnp
 
