@@ -147,3 +147,34 @@ class TestPretrained:
         poses = pipe.dock_complex(cplx, cluster=False)
         assert np.isfinite(poses.scores).all()
         assert len(poses) == 8
+
+    def test_v9p_flagship_restores_and_docks_polymer(self):
+        # Round-4 flagship: polymer-geometry + unbound protocol
+        # (best/ holds the EMA weights validation-selected at step
+        # 500).  Restores, docks a polymer-backbone unbound complex,
+        # and its trained coupling keeps >=95% of the learned
+        # deviation in rank 3 (the licensed truncation default —
+        # tools/coupling_spectrum.py, DESIGN.md "rank licensing").
+        ckpt = os.path.join(_ROOT, "pretrained", "synthetic-v9p",
+                            "best")
+        if not os.path.isdir(ckpt):
+            pytest.skip("no v9p checkpoint")
+        cfg = _cfg(ckpt)
+        trainer = Trainer(cfg)
+        state = trainer.restore(ckpt)
+        A = np.asarray(state.params["coupling"], np.float64)
+        SB = np.zeros_like(A)
+        SB[0, 0], SB[1, 1] = 1.0, -12.0
+        U, s, Vt = np.linalg.svd(A)
+        A3 = (U[:, :3] * s[:3]) @ Vt[:3]
+        dev = np.linalg.norm(A - SB)
+        assert np.linalg.norm(A - A3) <= 0.05 * dev
+        pipe = DockingPipeline(config=cfg.replace(
+            num_rotations=8, rotation_chunk=4, top_k=8,
+            lig_grid_size=None, grid_size=32, coupling_rank=3))
+        pipe.params = state.params
+        cplx = synthetic_complex(seed=999, n_res_rec=10, n_res_lig=5,
+                                 unbound_rmsd=1.2, backbone=True)
+        poses = pipe.dock_complex(cplx, cluster=False)
+        assert np.isfinite(poses.scores).all()
+        assert len(poses) == 8
