@@ -282,13 +282,22 @@ def run_benchmark_batched(pipeline: DockingPipeline,
                 [full if sm is None else sm for sm in masks])
         else:
             score_mask = None
+        # The complex axis multiplies every per-scan-step activation by
+        # the per-device group size, so the rotation chunk must shrink
+        # by the same factor — rotation_chunk is tuned as ONE sweep's
+        # per-step batch (same memory-amplification class that crashed
+        # TPU workers in pipeline.rescore's head vmap, round 4).
+        per_dev = len(group)
+        if pipeline.mesh is not None and "batch" in pipeline.mesh.shape:
+            per_dev = -(-len(group) // pipeline.mesh.shape["batch"])
+        chunk = max(1, cfg.rotation_chunk // max(per_dev, 1))
         res = dock_batch(
             pipeline.mesh, H_batch, jnp.stack(lc), jnp.stack(lt),
             jnp.stack(lm), rotations, rep_fn,
             grid_size=cfg.grid_size, lig_grid=lig_grid,
             resolution=cfg.resolution, sigma=cfg.sigma,
             num_types=cfg.num_atom_types, top_k=cfg.top_k,
-            chunk=cfg.rotation_chunk, score_mask=score_mask,
+            chunk=chunk, score_mask=score_mask,
             fft_impl=impl, dft_dtype=cfg.dft_dtype,
             fft_block=cfg.fft_block)
         rot_np = np.asarray(rotations)
