@@ -1,0 +1,67 @@
+"""Per-complex disagreement (McNemar) comparison of two matrix rows.
+
+Hit-rate deltas on a 48-complex band are dominated by the complexes
+both methods get right/wrong; the informative statistic is the
+disagreement split b:c (A-only hits vs B-only hits) and its exact
+binomial tail — this is what the README's results paragraph cites.
+
+Usage:
+    python tools/significance.py MATRIX.json rowA rowB [metric]
+    python tools/significance.py MATRIX_A.json:rowA MATRIX_B.json:rowB
+
+metric defaults to hit_top1 (hit_top10 also valid).
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+
+def load_row(spec: str, default_path: str | None):
+    if ":" in spec:
+        path, row = spec.rsplit(":", 1)
+    else:
+        path, row = default_path, spec
+    with open(path) as f:
+        d = json.load(f)
+    return {r["name"]: r for r in d[row]["complexes"]}, row
+
+
+def binom_tail(b: int, n: int) -> float:
+    """Two-sided exact binomial P(X >= max(b, n-b)) * 2 at p=1/2."""
+    k = max(b, n - b)
+    tail = sum(math.comb(n, i) for i in range(k, n + 1)) / 2 ** n
+    return min(1.0, 2 * tail)
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    if ":" in sys.argv[1]:
+        a, row_a = load_row(sys.argv[1], None)
+        b, row_b = load_row(sys.argv[2], None)
+        metric = sys.argv[3] if len(sys.argv) > 3 else "hit_top1"
+    else:
+        path = sys.argv[1]
+        a, row_a = load_row(sys.argv[2], path)
+        b, row_b = load_row(sys.argv[3], path)
+        metric = sys.argv[4] if len(sys.argv) > 4 else "hit_top1"
+    names = sorted(set(a) & set(b))
+    only_a = [n for n in names if a[n][metric] and not b[n][metric]]
+    only_b = [n for n in names if b[n][metric] and not a[n][metric]]
+    na = sum(bool(a[n][metric]) for n in names)
+    nb = sum(bool(b[n][metric]) for n in names)
+    n_dis = len(only_a) + len(only_b)
+    p = binom_tail(len(only_a), n_dis) if n_dis else 1.0
+    print(f"{metric} over {len(names)} shared complexes:")
+    print(f"  {row_a}: {na}/{len(names)} ({na / len(names):.3f})")
+    print(f"  {row_b}: {nb}/{len(names)} ({nb / len(names):.3f})")
+    print(f"  disagreements {len(only_a)}:{len(only_b)} "
+          f"({row_a}-only: {only_a or '-'} | {row_b}-only: "
+          f"{only_b or '-'})")
+    print(f"  exact McNemar two-sided p = {p:.4f}")
+
+
+if __name__ == "__main__":
+    main()
