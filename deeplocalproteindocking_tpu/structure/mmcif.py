@@ -32,6 +32,36 @@ from deeplocalproteindocking_tpu.structure.pdb import (
 
 
 def _tokenize_cif(text: str):
+    """CIF token stream via the C++ tokenizer when available
+    (native/cif_tokenizer.cpp), else the pure-Python reference below —
+    identical streams, parity asserted in tests/test_native.py.
+
+    NOTE the raw token stream is NOT where the native win lives (the
+    per-token Python marshaling costs more than pure-Python
+    tokenization — measured 0.4x); the production fast path is
+    ``cif_atom_site_v1`` (see ``_parse_native``), which extracts the
+    whole ``_atom_site`` table natively — measured 5.6x end-to-end on
+    a 6 MB / 120k-atom file (1.74 s -> 0.31 s)."""
+    global _native_tokenize
+    if _native_tokenize is None:
+        try:
+            from deeplocalproteindocking_tpu.native.cif_native import (
+                tokenize_cif)
+            _native_tokenize = tokenize_cif
+        except Exception:            # no toolchain / load failure
+            _native_tokenize = False
+    if _native_tokenize:
+        try:
+            return _native_tokenize(text)
+        except Exception:
+            pass                     # fall back per-call
+    return _tokenize_cif_py(text)
+
+
+_native_tokenize = None
+
+
+def _tokenize_cif_py(text: str):
     """CIF token stream: ``(is_value_literal, token)`` pairs.
 
     Handles the two constructs the round-2 line-based scanner
@@ -115,7 +145,16 @@ def _lex_quoted_line(s: str):
 def parse_mmcif_text(text: str, include_hetatm: bool = False,
                      model: int = 1) -> Structure:
     """Parse ``_atom_site``; ``model`` selects the Nth distinct
-    ``pdbx_PDB_model_num`` in file order (1-based, default first)."""
+    ``pdbx_PDB_model_num`` in file order (1-based, default first).
+
+    Uses the C++ fast path (native/cif_tokenizer.cpp:
+    ``cif_atom_site_v1`` — tokenize + table extraction entirely
+    native, parity-tested) when the library is available; the pure-
+    Python path below is the reference implementation and fallback.
+    """
+    st = _parse_native(text, include_hetatm, model)
+    if st is not None:
+        return st
     toks = _tokenize_cif(text)
     names, ress, chains, rids, icds, xyz = [], [], [], [], [], []
     alts, occs = [], []
@@ -224,6 +263,39 @@ def parse_mmcif_text(text: str, include_hetatm: bool = False,
         chain_ids=np.asarray([chains[k] for k in keep], dtype="<U1"),
         types=assign_atom_types(res_names, atom_names),
         icodes=np.asarray([icds[k] for k in keep], dtype="<U1"),
+    )
+
+
+def _parse_native(text: str, include_hetatm: bool,
+                  model: int) -> Structure | None:
+    """C++ ``_atom_site`` extraction -> Structure, or None to fall
+    back (no native library / any failure).  Setting the module's
+    ``_native_tokenize = False`` disables ALL native CIF paths (used
+    by the parity tests to force the reference implementation)."""
+    if _native_tokenize is False:
+        return None
+    try:
+        from deeplocalproteindocking_tpu.native.cif_native import (
+            parse_atom_site)
+        (coords, names, ress, chains, rids, icds, alts, occs,
+         model_count) = parse_atom_site(text, include_hetatm, model)
+    except Exception:
+        return None
+    if model > 1 and model > model_count:
+        raise ValueError(
+            f"model {model} requested but the file has only "
+            f"{model_count} distinct pdbx_PDB_model_num value(s)")
+    keep = select_altlocs(names, chains, rids, icds, alts, occs)
+    res_names = np.asarray(ress[keep], dtype="<U3")
+    atom_names = np.asarray(names[keep], dtype="<U4")
+    return Structure(
+        coords=coords[keep],
+        atom_names=atom_names,
+        res_names=res_names,
+        res_ids=np.asarray(rids[keep], dtype=np.int32),
+        chain_ids=np.asarray(chains[keep], dtype="<U1"),
+        types=assign_atom_types(res_names, atom_names),
+        icodes=np.asarray(icds[keep], dtype="<U1"),
     )
 
 

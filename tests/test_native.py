@@ -103,3 +103,75 @@ class TestNativeParser:
         # residue identity separates on the insertion code
         from deeplocalproteindocking_tpu.evaluation import _dense_res_ids
         assert len(set(_dense_res_ids(slow))) == 2
+
+
+class TestNativeCifTokenizer:
+    """C++ CIF tokenizer (native/cif_tokenizer.cpp) == pure Python."""
+
+    CASES = [
+        # plain loop
+        "loop_\n_atom_site.group_PDB\n_atom_site.id\nATOM 1\nATOM 2\n",
+        # quoted strings, trailing comment, semicolon block containing
+        # keyword-looking lines (the round-2 desync case)
+        ("data_x\n_t 'a b' \"c'd\"  # trail\n"
+         ";block line1\nloop_ inside\n_tag fake\n;\nnext 1 2\n"),
+        # comments, blank lines, '#' mid-token is data
+        "# c\n\n  _k   v1 v2#data\n",
+        # unterminated quote runs to EOL
+        '_q "open quote runs\n',
+        # unterminated semicolon block runs to EOF
+        ";unterminated\nline2",
+        # quote closes only before whitespace (embedded quotes = data)
+        "mix 'q1'x 'q2' end\n",
+        # wrapped rows + stop_ + CRLF
+        "loop_\r\n_a.x\r\n_a.y\r\n1\r\n2\r\n3 4\r\nstop_\r\n",
+        "",
+    ]
+
+    def test_token_stream_parity(self):
+        cif_native = pytest.importorskip(
+            "deeplocalproteindocking_tpu.native.cif_native")
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            _tokenize_cif_py)
+        for i, text in enumerate(self.CASES):
+            assert (cif_native.tokenize_cif(text)
+                    == _tokenize_cif_py(text)), f"case {i}"
+
+    def test_structure_parity_through_parse(self, tmp_path):
+        # Full parse equality on a synthetic complex written as mmCIF:
+        # native tokens -> same Structure as pure-Python tokens.
+        pytest.importorskip(
+            "deeplocalproteindocking_tpu.native.cif_native")
+        import numpy as np
+        from deeplocalproteindocking_tpu.data import synthetic_complex
+        from deeplocalproteindocking_tpu.structure import mmcif as M
+        from deeplocalproteindocking_tpu.structure.pdb import write_pdb
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            parse_mmcif_text)
+        c = synthetic_complex(seed=7, backbone=True)
+        pdb_path = tmp_path / "r.pdb"
+        write_pdb(str(pdb_path), c.receptor)
+        # Build a minimal mmCIF from the structure's fields.
+        s = c.receptor
+        rows = ["data_synth", "loop_", "_atom_site.group_PDB",
+                "_atom_site.auth_atom_id", "_atom_site.auth_comp_id",
+                "_atom_site.auth_asym_id", "_atom_site.auth_seq_id",
+                "_atom_site.Cartn_x", "_atom_site.Cartn_y",
+                "_atom_site.Cartn_z", "_atom_site.occupancy"]
+        for k in range(len(s.coords)):
+            rows.append(
+                f"ATOM {s.atom_names[k]} {s.res_names[k]} "
+                f"{s.chain_ids[k]} {s.res_ids[k]} "
+                f"{s.coords[k,0]:.3f} {s.coords[k,1]:.3f} "
+                f"{s.coords[k,2]:.3f} 1.00")
+        text = "\n".join(rows) + "\n"
+        fast = parse_mmcif_text(text)          # native tokens
+        M._native_tokenize = False             # force Python tokens
+        try:
+            slow = parse_mmcif_text(text)
+        finally:
+            M._native_tokenize = None
+        np.testing.assert_array_equal(fast.coords, slow.coords)
+        assert list(fast.atom_names) == list(slow.atom_names)
+        assert list(fast.types) == list(slow.types)
+        assert len(fast.coords) == len(s.coords)
