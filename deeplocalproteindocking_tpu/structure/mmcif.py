@@ -271,7 +271,12 @@ def _parse_native(text: str, include_hetatm: bool,
     """C++ ``_atom_site`` extraction -> Structure, or None to fall
     back (no native library / any failure).  Setting the module's
     ``_native_tokenize = False`` disables ALL native CIF paths (used
-    by the parity tests to force the reference implementation)."""
+    by the parity tests to force the reference implementation).
+
+    Known (accepted) divergence: the native model count spans ALL
+    ``_atom_site`` rows (``count_models`` semantics), so requesting a
+    model that exists only as excluded-HETATM rows returns an empty
+    Structure here where the pure-Python parser raises ValueError."""
     if _native_tokenize is False:
         return None
     try:
@@ -310,6 +315,13 @@ def count_models_mmcif_text(text: str) -> int:
     """Number of distinct ``pdbx_PDB_model_num`` values in the
     ``_atom_site`` loop (>= 1); rows without the column count as one
     model, matching ``parse_mmcif_text``'s default."""
+    if _native_tokenize is not False:
+        try:
+            from deeplocalproteindocking_tpu.native.cif_native import (
+                parse_atom_site)
+            return max(parse_atom_site(text, False, 1)[8], 1)
+        except Exception:
+            pass
     toks = _tokenize_cif(text)
     n = len(toks)
     models: list = []

@@ -244,7 +244,10 @@ void* cif_atom_site_v1(const char* text, long len, int include_het,
     };
 
     auto* out = new AtomSite();
-    std::vector<std::string> models_seen;
+    std::vector<std::string> models_seen;   // post-group-filter (row
+                                            // selection, == parser)
+    std::vector<std::string> models_all;    // every row (== the
+                                            // count_models semantics)
 
     long i = 0;
     while (i < n_toks) {
@@ -304,6 +307,13 @@ void* cif_atom_site_v1(const char* text, long len, int include_het,
             };
             std::string grp = (c_group >= 0)
                 ? cell(c_group, "ATOM") : "ATOM";
+            {
+                std::string ma = cell(c_model, "1");
+                bool seen = false;
+                for (auto& s : models_all)
+                    if (s == ma) { seen = true; break; }
+                if (!seen) models_all.push_back(ma);
+            }
             if (grp == "HETATM" && !include_het) continue;
             if (grp != "ATOM" && grp != "HETATM") continue;
             std::string m = cell(c_model, "1");
@@ -349,7 +359,7 @@ void* cif_atom_site_v1(const char* text, long len, int include_het,
     cif_free(toks);
     *n_rows = out->n;
     *model_count_out =
-        static_cast<long>(models_seen.empty() ? 1 : models_seen.size());
+        static_cast<long>(models_all.empty() ? 1 : models_all.size());
     return out;
 }
 
