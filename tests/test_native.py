@@ -175,3 +175,29 @@ class TestNativeCifTokenizer:
         assert list(fast.atom_names) == list(slow.atom_names)
         assert list(fast.types) == list(slow.types)
         assert len(fast.coords) == len(s.coords)
+
+    def test_fuzz_parity(self):
+        # Random CIF-ish soup: every byte-level decision (quotes,
+        # comments, blocks, CRLF, wrapped rows) must agree with the
+        # pure-Python reference on arbitrary input, not just
+        # well-formed files.
+        cif_native = pytest.importorskip(
+            "deeplocalproteindocking_tpu.native.cif_native")
+        from deeplocalproteindocking_tpu.structure.mmcif import (
+            _tokenize_cif_py)
+        import random
+        rng = random.Random(0)
+        pieces = ["loop_", "_a.x", "_atom_site.id", "ATOM", "1.5",
+                  "'q v'", '"d q"', "#c", ";", ";blk", "?", ".",
+                  "ab'c", 'x"y', "stop_", "data_z", "  ", "\t", "#",
+                  "'unterm", '"', "'"]
+        for trial in range(200):
+            n = rng.randrange(1, 40)
+            parts = []
+            for _ in range(n):
+                parts.append(rng.choice(pieces))
+                parts.append(rng.choice([" ", " ", "\n", "\r\n", "\t"]))
+            text = "".join(parts)
+            a = _tokenize_cif_py(text)
+            b = cif_native.tokenize_cif(text)
+            assert a == b, (trial, text[:120], a[:5], b[:5])
