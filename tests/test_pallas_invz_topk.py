@@ -74,3 +74,25 @@ def test_blockmax_kernel_matches_reduce():
     ref = np.asarray(S).reshape(B, L, L // YB, YB, L).max(axis=3)
     np.testing.assert_allclose(np.asarray(bmax), ref, rtol=2e-4,
                                atol=1e-3)
+
+
+@pytest.mark.slow
+def test_fused_topk_grid64_shape():
+    """Grid 64 — the shape whose flattened-GEMM kernel form Mosaic
+    rejected (round 4): assert math parity at the REAL eval grid in
+    interpret mode (layout/compile validation runs on hardware)."""
+    L2, LS2, C2, B2, K2 = 64, 32, 2, 1, 16
+    rng = np.random.default_rng(5)
+    rec = jnp.asarray(rng.normal(size=(L2, L2, L2, C2)).astype(np.float32))
+    reps = jnp.asarray(
+        rng.normal(size=(B2, LS2, LS2, LS2, C2)).astype(np.float32))
+    H = receptor_transform(rec, None)
+    corr = get_correlator(L2, LS2, "float32")
+    vals, flat = _fused_correlate_topk(corr.prep_H(H), reps, L2, LS2,
+                                       "float32", None, K2,
+                                       interpret=True)
+    S = corr.scores(H.real.astype(jnp.float32),
+                    H.imag.astype(jnp.float32), reps)
+    vref, _ = exact_block_topk(jnp.asarray(S).reshape(B2, -1), K2)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vref),
+                               rtol=2e-4, atol=1e-3)
