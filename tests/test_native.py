@@ -201,3 +201,75 @@ class TestNativeCifTokenizer:
             a = _tokenize_cif_py(text)
             b = cif_native.tokenize_cif(text)
             assert a == b, (trial, text[:120], a[:5], b[:5])
+
+    def test_atom_site_fuzz_parity(self):
+        # Random _atom_site tables: column subsets/order, './?' cells,
+        # HETATM rows, multiple models, quoted atom ids, truncated
+        # final rows — the native parse must equal the pure-Python one
+        # structure-for-structure.
+        pytest.importorskip(
+            "deeplocalproteindocking_tpu.native.cif_native")
+        import random
+        import numpy as np
+        from deeplocalproteindocking_tpu.structure import mmcif as M
+        rng = random.Random(1)
+        all_cols = ["group_PDB", "auth_atom_id", "label_atom_id",
+                    "auth_comp_id", "auth_asym_id", "auth_seq_id",
+                    "label_seq_id", "Cartn_x", "Cartn_y", "Cartn_z",
+                    "occupancy", "label_alt_id", "pdbx_PDB_ins_code",
+                    "pdbx_PDB_model_num"]
+        atoms = ["N", "CA", "C", "O", "CB", '"C5\'"', "OXT"]
+        ress = ["ALA", "GLY", "LYS", "HOH"]
+        for trial in range(40):
+            cols = [c for c in all_cols if rng.random() < 0.8]
+            if not any(c.startswith("Cartn") for c in cols):
+                cols += ["Cartn_x", "Cartn_y", "Cartn_z"]
+            rng.shuffle(cols)
+            rows = ["data_f", "loop_"] + [f"_atom_site.{c}"
+                                          for c in cols]
+            for r in range(rng.randrange(1, 25)):
+                cells = []
+                for c in cols:
+                    if rng.random() < 0.08:
+                        cells.append(rng.choice([".", "?"]))
+                    elif c == "group_PDB":
+                        cells.append(rng.choice(
+                            ["ATOM", "ATOM", "HETATM", "TER"]))
+                    elif "atom_id" in c:
+                        cells.append(rng.choice(atoms))
+                    elif "comp_id" in c:
+                        cells.append(rng.choice(ress))
+                    elif "asym_id" in c:
+                        cells.append(rng.choice("AB"))
+                    elif "seq_id" in c:
+                        cells.append(str(rng.randrange(1, 60)))
+                    elif c.startswith("Cartn"):
+                        cells.append(rng.choice(
+                            [f"{rng.uniform(-20, 20):.3f}", "bad"]
+                            if rng.random() < 0.05
+                            else [f"{rng.uniform(-20, 20):.3f}"]))
+                    elif c == "occupancy":
+                        cells.append(rng.choice(["1.00", "0.50", "x"]))
+                    elif c == "label_alt_id":
+                        cells.append(rng.choice([".", "A", "B"]))
+                    elif c == "pdbx_PDB_ins_code":
+                        cells.append(rng.choice([".", "A"]))
+                    else:
+                        cells.append(str(1 + rng.randrange(2)))
+                rows.append(" ".join(cells))
+            text = "\n".join(rows) + "\n"
+            if rng.random() < 0.2:           # truncated final row
+                text = text.rsplit(" ", 2)[0] + "\n"
+            for het in (False, True):
+                fast = M.parse_mmcif_text(text, include_hetatm=het)
+                M._native_tokenize = False
+                try:
+                    slow = M.parse_mmcif_text(text, include_hetatm=het)
+                finally:
+                    M._native_tokenize = None
+                assert len(fast.coords) == len(slow.coords), (
+                    trial, het, text[:300])
+                np.testing.assert_array_equal(fast.coords, slow.coords)
+                assert list(fast.atom_names) == list(slow.atom_names)
+                assert list(fast.res_ids) == list(slow.res_ids)
+                assert list(fast.types) == list(slow.types)
