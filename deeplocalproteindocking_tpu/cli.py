@@ -31,6 +31,11 @@ def _add_config_args(p: argparse.ArgumentParser):
     p.add_argument("--fft-block", type=int, default=None,
                    help="translation-block edge for --fft-impl block "
                         "(must divide grid size)")
+    p.add_argument("--coupling-rank", type=int, default=None,
+                   help="SVD-truncate the learned channel coupling to "
+                        "this rank before the sweep (rank 3 is the "
+                        "licensed flagship default — DESIGN.md 'rank "
+                        "licensing'; 0/unset = full rank)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2)")
     p.add_argument("--profile", default=None,
@@ -56,6 +61,9 @@ def _build_config(args):
         ("sweep_mode", "sweep_mode"), ("fft_impl", "fft_impl"),
         ("fft_block", "fft_block"),
     ] if getattr(args, a, None) is not None}
+    cr = getattr(args, "coupling_rank", None)
+    if cr is not None:
+        overrides["coupling_rank"] = cr or None   # 0 -> full rank
     if getattr(args, "debug_nans", False):
         overrides["debug_nans"] = True
     if getattr(args, "global_frac", None) is not None:
