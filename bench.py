@@ -35,7 +35,33 @@ import numpy as np
 BASELINE_SECONDS = 10.0
 
 
+def _watchdog(seconds: float):
+    """Hard-exit with an explicit JSON error if the run wedges.
+
+    The axon TPU tunnel can hang indefinitely at backend init when the
+    remote terminal is down (observed round 4: a 4+ hour outage where
+    the first device op never returned) — without this, the driver's
+    bench invocation inherits the hang.  A daemon timer prints one
+    parseable line and exits hard; main() cancels it on success.
+    """
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "full_sweep_13000rot_128grid_wallclock",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "error": f"bench timed out after {seconds:.0f}s "
+                     f"(TPU backend unreachable?)"}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    wd = _watchdog(float(os.environ.get("BENCH_TIMEOUT", 1200)))
     n_rot = int(os.environ.get("BENCH_ROTATIONS", 13000))
     grid = int(os.environ.get("BENCH_GRID", 128))
     chunk = int(os.environ.get("BENCH_CHUNK", 128))
@@ -154,6 +180,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 3),
     }
+    wd.cancel()
     print(json.dumps(result))
     print(json.dumps({"detail": detail}), file=sys.stderr)
 
