@@ -69,7 +69,7 @@ def _invz_bmax_kernel(dre_ref, dim_ref, mzre_ref, mzim_ref, bias_ref,
                                  preferred_element_type=f32)
              - jax.lax.dot_general(dim_x, mzim_ref[:], dn,
                                    preferred_element_type=f32))
-        S = S + bias_ref[x]                        # [Y, Z]
+        S = S + bias_ref[0, x]                     # [Y, Z]
         # Block-max over 32-wide y runs: pairwise-max tree over the
         # sublane-grouped middle axis (guaranteed-lowerable slices).
         m = S.reshape(Y // YB, YB, Z)
@@ -80,23 +80,19 @@ def _invz_bmax_kernel(dre_ref, dim_ref, mzre_ref, mzim_ref, bias_ref,
         out_ref[0, x] = m.reshape(Y // YB, Z)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def invz_blockmax(Dre: jax.Array, Dim: jax.Array,
-                  MzRe: jax.Array, MzIm: jax.Array,
-                  bias: jax.Array, interpret: bool = False) -> jax.Array:
-    """Block maxima ``[b, X, Y//32, Z]`` of the score volumes.
-
-    ``Dre/Dim [b, K, X, Y]`` from correlate/pallas_fused.py;
-    ``MzRe/MzIm [K, Z]`` Hermitian-weighted inverse twiddles;
-    ``bias [X, Y, Z]`` additive translation mask (0 valid / -inf
-    masked).  Equivalent to ``max`` over y-runs of
-    ``einsum(D, Mz) + bias`` without materializing the score volume.
-    """
+def _invz_blockmax_call(Dre, Dim, MzRe, MzIm, bias, interpret):
+    """One pallas_call; ``bias [G, X, Y, Z]`` with G dividing b — each
+    contiguous run of ``b // G`` batch rows shares bias group
+    ``bb // (b // G)`` (the layout the custom-vmap fold produces)."""
     b, K, X, Y = Dre.shape
     Z = MzRe.shape[1]
+    G = bias.shape[0]
     if X % TX or Y % YB:
         raise ValueError(f"invz_blockmax needs X % {TX} == 0 and "
                          f"Y % {YB} == 0, got {X}x{Y}")
+    if b % G:
+        raise ValueError(f"bias groups G={G} must divide batch b={b}")
+    bpg = b // G
     grid = (X // TX, b)    # b innermost: Mz + bias tiles stay resident
     f32 = jnp.float32
     flops = 2 * K * X * Y * Z * 2
@@ -117,7 +113,8 @@ def invz_blockmax(Dre: jax.Array, Dim: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, Z), lambda xt, bb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TX, Y, Z), lambda xt, bb: (xt, 0, 0),
+            pl.BlockSpec((1, TX, Y, Z),
+                         lambda xt, bb: (bb // bpg, xt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TX, Y // YB, Z),
@@ -128,6 +125,86 @@ def invz_blockmax(Dre: jax.Array, Dim: jax.Array,
         interpret=interpret,
     )(Dre.astype(f32), Dim.astype(f32), MzRe.astype(f32),
       MzIm.astype(f32), bias.astype(f32))
+
+
+@functools.lru_cache(maxsize=2)
+def _invz_blockmax_batchable(interpret: bool):
+    """custom_vmap wrapper: ``jax.vmap`` of this function FOLDS the
+    mapped axis into the kernel's existing ``b`` grid axis instead of
+    batching the pallas_call itself.
+
+    Round 4 measured that a vmapped ``pallas_call`` of this kernel
+    faults the TPU worker (the rerank row of the held-out matrix died
+    reproducibly), which forced every batched caller — rescore's
+    per-head cone sweeps, parallel.batch_eval's complex groups,
+    dock_ensemble's pair batches — to pin ``fused_topk=False`` and pay
+    the full score-volume HBM traffic exactly where throughput matters
+    most.  The fold below reshapes ``[n, b, ...]`` D tiles to
+    ``[n*b, ...]`` and stacks per-batch bias volumes as kernel bias
+    GROUPS (each group serving its ``b`` rotations via the
+    ``bb // (b // G)`` index map), so the batched entry runs the same
+    single-launch kernel shape the unbatched sweep already validated.
+    Nested vmaps recurse through the same rule.
+    """
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(Dre, Dim, MzRe, MzIm, bias):
+        return _invz_blockmax_call(Dre, Dim, MzRe, MzIm, bias,
+                                   interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, Dre, Dim, MzRe, MzIm, bias):
+        db, _, mzb, _, bb = in_batched
+        n = axis_size
+        if mzb or in_batched[3]:
+            # Per-batch inverse twiddles never occur in this codebase
+            # (Mz depends only on the static grid size); if they ever
+            # do, fall back to a sequential map rather than mis-fold.
+            args = [a if ab else jnp.broadcast_to(a[None],
+                                                  (n,) + a.shape)
+                    for a, ab in zip((Dre, Dim, MzRe, MzIm, bias),
+                                     in_batched)]
+            return jax.lax.map(lambda a: f(*a), tuple(args)), True
+        if not db:
+            Dre = jnp.broadcast_to(Dre[None], (n,) + Dre.shape)
+            Dim = jnp.broadcast_to(Dim[None], (n,) + Dim.shape)
+        b = Dre.shape[1]
+        Dre2 = Dre.reshape((n * b,) + Dre.shape[2:])
+        Dim2 = Dim.reshape((n * b,) + Dim.shape[2:])
+        if bb:
+            bias2 = bias.reshape((n * bias.shape[1],) + bias.shape[2:])
+        elif bias.shape[0] == 1:
+            bias2 = bias            # one shared group covers all n*b
+        else:
+            bias2 = jnp.broadcast_to(
+                bias[None], (n,) + bias.shape).reshape(
+                    (n * bias.shape[0],) + bias.shape[1:])
+        out = f(Dre2, Dim2, MzRe, MzIm, bias2)     # [n*b, X, NBy, Z]
+        return out.reshape((n, b) + out.shape[1:]), True
+
+    return f
+
+
+def invz_blockmax(Dre: jax.Array, Dim: jax.Array,
+                  MzRe: jax.Array, MzIm: jax.Array,
+                  bias: jax.Array, interpret: bool = False) -> jax.Array:
+    """Block maxima ``[b, X, Y//32, Z]`` of the score volumes.
+
+    ``Dre/Dim [b, K, X, Y]`` from correlate/pallas_fused.py;
+    ``MzRe/MzIm [K, Z]`` Hermitian-weighted inverse twiddles;
+    ``bias`` additive translation mask (0 valid / -inf masked), either
+    ``[X, Y, Z]`` (shared across the batch) or ``[G, X, Y, Z]`` with G
+    dividing b (each contiguous b//G run shares a group).  Equivalent
+    to ``max`` over y-runs of ``einsum(D, Mz) + bias`` without
+    materializing the score volume.  ``jax.vmap`` folds the mapped axis
+    into ``b`` (see :func:`_invz_blockmax_batchable`) — batched callers
+    never emit a vmapped pallas_call.
+    """
+    if bias.ndim == 3:
+        bias = bias[None]
+    return _invz_blockmax_batchable(bool(interpret))(
+        Dre, Dim, MzRe, MzIm, bias)
 
 
 def drill_topk(Dre: jax.Array, Dim: jax.Array,

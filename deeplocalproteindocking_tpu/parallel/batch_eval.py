@@ -45,7 +45,8 @@ def dock_batch(mesh: Optional[Mesh],
                score_mask: Optional[jax.Array] = None,
                fft_impl: str = "dft",
                dft_dtype: str = "float32",
-               fft_block: int = 32) -> DockResult:
+               fft_block: int = 32,
+               fused_topk: Optional[bool] = None) -> DockResult:
     """Dock ``B`` complexes against one rotation set in one program.
 
     ``H_batch [B, L, L, L//2+1, C]`` coupled receptor spectra;
@@ -60,10 +61,12 @@ def dock_batch(mesh: Optional[Mesh],
               resolution=resolution, sigma=sigma, num_types=num_types,
               top_k=top_k, chunk=chunk, fft_impl=fft_impl,
               dft_dtype=dft_dtype, fft_block=fft_block,
-              # The complex axis is a vmap over the whole sweep; a
-              # vmapped pallas_call of the fused invz+topk kernel
-              # faults the TPU worker (round 4) — keep it off here.
-              fused_topk=False)
+              # The complex axis is a vmap over the whole sweep; the
+              # fused invz+topk kernel folds that axis into its own b
+              # grid axis via custom_vmap (round 5) — auto-select is
+              # safe here (a vmapped pallas_call of it faulted the TPU
+              # worker in round 4; the fold never emits one).
+              fused_topk=fused_topk)
 
     if mesh is None:
         if score_mask is None:

@@ -755,8 +755,10 @@ class DockingPipeline:
                   num_types=cfg.num_atom_types, top_k=K,
                   chunk=chunk,
                   fft_impl=impl, dft_dtype=cfg.dft_dtype,
-                  topk_impl=cfg.topk_impl, fft_block=cfg.fft_block,
-                  fused_topk=False)
+                  topk_impl=cfg.topk_impl, fft_block=cfg.fft_block)
+        # fused_topk is left on auto: the head vmap folds into the
+        # invz kernel's b grid axis (round 5) instead of batching the
+        # pallas_call (which faulted the TPU worker in round 4).
         res = jax.vmap(
             lambda rots, sm: dock_sweep_resplat(
                 H, lc, lt, lm, rots, rep_fn, score_mask=sm, **kw)

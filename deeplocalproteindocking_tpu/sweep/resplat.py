@@ -147,12 +147,14 @@ def dock_sweep_resplat(H: jax.Array,
     # matrix for an hour of retries).
     # Tri-state ``fused_topk``: ``None`` -> auto, ``False`` -> off,
     # ``True`` -> force past the grid allowlist (still requires the
-    # dft_fused engine, exact top-K and a 32-multiple grid).  ``False``
-    # is required by callers that vmap this whole sweep
-    # (pipeline.rescore's per-head cone batch, parallel.batch_eval's
-    # complex batch): a vmapped pallas_call of this kernel faults the
-    # TPU worker (observed round 4, rerank row of the held-out
-    # matrix).  Auto only engages on compile-validated grids
+    # dft_fused engine, exact top-K and a 32-multiple grid).  Callers
+    # that vmap this whole sweep (pipeline.rescore's per-head cone
+    # batch, parallel.batch_eval's complex batch, dock_ensemble's pair
+    # batch) are supported since round 5: invz_blockmax carries a
+    # custom_vmap rule that folds the mapped axis into the kernel's
+    # own ``b`` grid axis, so no vmapped pallas_call is ever emitted
+    # (a vmapped pallas_call of this kernel faulted the TPU worker in
+    # round 4).  Auto only engages on compile-validated grids
     # (64, 128) — Mosaic layout inference has rejected untested shape
     # variants of this kernel before, and a long job must fail into
     # the score-volume path, not at compile.  DLPD_FUSED_TOPK=0/1

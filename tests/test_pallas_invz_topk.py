@@ -76,6 +76,103 @@ def test_blockmax_kernel_matches_reduce():
                                atol=1e-3)
 
 
+def test_blockmax_vmap_folds_into_b_axis():
+    """jax.vmap of invz_blockmax must equal per-element calls — the
+    custom_vmap rule folds the mapped axis into the kernel's b grid
+    axis (round 5; a vmapped pallas_call faulted the TPU worker in
+    round 4), both with per-element bias (rescore's per-head masks,
+    batch_eval's per-complex masks) and with a shared bias."""
+    import jax
+    from deeplocalproteindocking_tpu.correlate.pallas_invz_topk import (
+        invz_blockmax)
+    corr, H, reps, S = _setup(seed=3)
+    f32 = jnp.float32
+    HtRe, HtIm = corr.prep_H(H)
+    Dre, Dim = corr.fused_D(HtRe, HtIm, reps, interpret=True)
+    n = 3
+    rng = np.random.default_rng(7)
+    Dre_n = jnp.asarray(rng.normal(
+        size=(n,) + Dre.shape).astype(np.float32))
+    Dim_n = jnp.asarray(rng.normal(
+        size=(n,) + Dim.shape).astype(np.float32))
+    bias_n = jnp.asarray(np.where(
+        rng.random((n, L, L, L)) < 0.8, 0.0, -np.inf).astype(np.float32))
+    MzRe = jnp.asarray(corr.MzRe, f32)
+    MzIm = jnp.asarray(corr.MzIm, f32)
+
+    fn = lambda dr, di, bi: invz_blockmax(dr, di, MzRe, MzIm, bi,
+                                          interpret=True)
+    got = jax.vmap(fn)(Dre_n, Dim_n, bias_n)
+    want = jnp.stack([fn(Dre_n[i], Dim_n[i], bias_n[i])
+                      for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-3)
+    # Shared (unbatched) bias under vmap.
+    bias_s = bias_n[0]
+    got_s = jax.vmap(lambda dr, di: fn(dr, di, bias_s))(Dre_n, Dim_n)
+    want_s = jnp.stack([fn(Dre_n[i], Dim_n[i], bias_s)
+                        for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_blockmax_grouped_bias_direct():
+    """Direct grouped-bias entry: bias [G, X, Y, Z] with G dividing b —
+    each contiguous b//G run of batch rows gets its own group."""
+    from deeplocalproteindocking_tpu.correlate.pallas_invz_topk import (
+        invz_blockmax)
+    corr, H, reps, S = _setup(seed=4)       # B = 2 rotations
+    f32 = jnp.float32
+    HtRe, HtIm = corr.prep_H(H)
+    Dre, Dim = corr.fused_D(HtRe, HtIm, reps, interpret=True)
+    rng = np.random.default_rng(9)
+    bias_g = jnp.asarray(np.where(
+        rng.random((B, L, L, L)) < 0.8, 0.0,
+        -np.inf).astype(np.float32))        # G = b = 2, one group each
+    MzRe = jnp.asarray(corr.MzRe, f32)
+    MzIm = jnp.asarray(corr.MzIm, f32)
+    got = invz_blockmax(Dre, Dim, MzRe, MzIm, bias_g, interpret=True)
+    want = jnp.stack([
+        invz_blockmax(Dre[i:i + 1], Dim[i:i + 1], MzRe, MzIm,
+                      bias_g[i], interpret=True)[0]
+        for i in range(B)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_fused_topk_vmapped_matches_sequential():
+    """The full batched fused-topk entry (as rescore/batch_eval drive
+    it: one vmap over the whole correlate+topk step with per-element
+    masks) equals per-element sequential calls."""
+    import jax
+    corr, H, reps, S = _setup(seed=6)
+    Ht = corr.prep_H(H)
+    n = 2
+    rng = np.random.default_rng(11)
+    reps_n = jnp.asarray(rng.normal(
+        size=(n,) + tuple(reps.shape)).astype(np.float32))
+    masks = jnp.asarray(rng.random((n, L, L, L)) < 0.7)
+
+    def one(r, m):
+        return _fused_correlate_topk(Ht, r, L, LS, "float32", m, K,
+                                     interpret=True)
+
+    got_v, got_f = jax.vmap(one)(reps_n, masks)
+    for i in range(n):
+        want_v, want_f = one(reps_n[i], masks[i])
+        np.testing.assert_allclose(np.asarray(got_v[i]),
+                                   np.asarray(want_v),
+                                   rtol=2e-4, atol=1e-3)
+        # Indices must address the same scores in the true volume.
+        Sref = corr.scores(jnp.asarray(H.real, jnp.float32),
+                           jnp.asarray(H.imag, jnp.float32), reps_n[i])
+        Sref = np.where(np.asarray(masks[i])[None], np.asarray(Sref),
+                        -np.inf).reshape(B, -1)
+        looked = np.take_along_axis(Sref, np.asarray(got_f[i]), axis=1)
+        np.testing.assert_allclose(looked, np.asarray(got_v[i]),
+                                   rtol=2e-4, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_fused_topk_grid64_shape():
     """Grid 64 — the shape whose flattened-GEMM kernel form Mosaic
