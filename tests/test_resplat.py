@@ -248,6 +248,52 @@ class TestRefine:
                                _identity_rep, **kw)
         np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
 
+    def test_block_score_matches_lattice(self):
+        # Spectrum-free real-space score (block engine) == FFT lattice
+        # score at integer shifts, including wrapped (negative) ones.
+        from deeplocalproteindocking_tpu.sweep.refine import (
+            continuous_score_block)
+        from deeplocalproteindocking_tpu.sweep.resplat import (
+            score_decoys_resplat)
+        L, Ls = 16, 12
+        coords, types, mask = _atoms(n=8, spread=2.5)
+        rec = separable_splat(coords + 1.0, types, mask, grid_size=L,
+                              resolution=1.0, num_types=4)
+        H = receptor_transform(rec)
+        kw = dict(grid_size=L, lig_grid=Ls, resolution=1.0, sigma=1.0,
+                  num_types=4)
+        for shift in ([2, -1, 3], [-5, 4, -2]):
+            shift = jnp.asarray(shift)
+            want = score_decoys_resplat(H, coords, types, mask,
+                                        jnp.eye(3)[None], shift[None],
+                                        _identity_rep, **kw)[0]
+            got = continuous_score_block(
+                rec, coords, types, mask, jnp.eye(3),
+                shift.astype(jnp.float32), _identity_rep, **kw)
+            np.testing.assert_allclose(float(got), float(want),
+                                       rtol=1e-4)
+
+    def test_block_refine_recovers_subvoxel_shift(self):
+        # The block-engine refinement path (real-space patch score, no
+        # spectrum) recovers a fractional translation like the
+        # spectral path does.
+        from deeplocalproteindocking_tpu.sweep.refine import refine_poses
+        L, Ls = 16, 12
+        coords, types, mask = _atoms(n=10, spread=2.5)
+        t_true = jnp.array([1.4, -0.6, 2.3])
+        rec = separable_splat(coords + t_true, types, mask, grid_size=L,
+                              resolution=1.0, num_types=4)
+        kw = dict(grid_size=L, lig_grid=Ls, resolution=1.0, sigma=1.0,
+                  num_types=4)
+        out = refine_poses(rec, coords, types, mask,
+                           jnp.eye(3)[None],
+                           jnp.array([[1, -1, 2]]),
+                           _identity_rep, steps=60, lr=0.05,
+                           fft_impl="block", **kw)
+        assert float(out.scores[0]) >= float(out.initial_scores[0])
+        t_ref = np.asarray(out.translations[0])
+        np.testing.assert_allclose(t_ref, np.asarray(t_true), atol=0.3)
+
 
 class TestSE3Consistency:
     def test_joint_rotation_invariance_shape_mode(self):
