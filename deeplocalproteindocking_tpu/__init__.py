@@ -38,4 +38,20 @@ Layer map (mirrors SURVEY.md §1/§2 inventory):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("DLPD_PLATFORM"):
+    # Escape hatch: some TPU PJRT plugins (axon) register themselves
+    # from sitecustomize, preset JAX_PLATFORMS process-wide, and ignore
+    # a user's JAX_PLATFORMS override — and when the TPU tunnel is
+    # unreachable, backend init HANGS rather than fails.  The config
+    # API is authoritative over both, so `DLPD_PLATFORM=cpu <tool>`
+    # forces the platform before any backend initializes.  (A package-
+    # owned variable, not JAX_PLATFORMS, because the plugin's own
+    # preset value must not be re-asserted over test harnesses that
+    # force CPU via the config API.)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DLPD_PLATFORM"])
+
 from deeplocalproteindocking_tpu.config import DockConfig, PRESETS  # noqa: F401

@@ -118,6 +118,58 @@ def dock_score_mask(cfg: DockConfig, lig_c: Structure,
     return score_mask
 
 
+def coupling_deviation_capture(coupling, rank: int, *,
+                               shape_prior: bool = False,
+                               core_weight: float = 12.0):
+    """``(kept, dev)``: fraction of the LEARNED coupling deviation a
+    rank-``rank`` SVD truncation keeps, and the deviation norm itself.
+
+    The licensing criterion for ``DockConfig.coupling_rank`` is
+    DEVIATION capture, not energy (DESIGN.md round-4): the hybrid
+    model's coupling is dominated by the ±core_weight shape block
+    (>99.99% of energy), but what training learned is the deviation
+    ``A - prior`` — a truncation can keep all the energy while
+    discarding most of the deviation.  Measured on v9p (held-out 48):
+    rank 2 kept 99.992% energy but only ~29% of the deviation and
+    collapsed global top-1 0.333 -> 0.167 (below the shape baseline);
+    rank 3 kept ~96% and was hit-rate-identical to full rank.
+
+    ``prior`` is ``diag(1, -core_weight)`` on the first two channels
+    for the hybrid (models/representation.py:shape_channels) and
+    identity for the plain model (models/scoring.py init).
+    """
+    A = np.asarray(coupling, np.float64)
+    SB = np.zeros_like(A)
+    if shape_prior:
+        SB[0, 0] = 1.0
+        if min(A.shape) > 1:
+            SB[1, 1] = -core_weight
+    else:
+        np.fill_diagonal(SB, 1.0)
+    U, s, Vt = np.linalg.svd(A)
+    r = min(rank, len(s))
+    Ar = (U[:, :r] * s[:r]) @ Vt[:r]
+    dev = float(np.linalg.norm(A - SB))
+    lost = float(np.linalg.norm(A - Ar))
+    kept = 1.0 if dev <= 0 else 1.0 - lost / dev
+    return kept, dev
+
+
+def min_licensed_rank(coupling, *, shape_prior: bool = False,
+                      core_weight: float = 12.0,
+                      threshold: float = 0.95) -> int:
+    """Smallest truncation rank keeping >= ``threshold`` of the
+    learned coupling deviation (see coupling_deviation_capture)."""
+    C = min(np.asarray(coupling).shape)
+    for r in range(1, C + 1):
+        kept, dev = coupling_deviation_capture(
+            coupling, r, shape_prior=shape_prior,
+            core_weight=core_weight)
+        if dev <= 0 or kept >= threshold:
+            return r
+    return C
+
+
 def ensemble_pair_batch(H_example: jax.Array,
                         budget_bytes: int = 512 * 1024 * 1024,
                         cap: int = 32) -> int:
@@ -246,6 +298,24 @@ class DockingPipeline:
         r = self.config.coupling_rank
         if r is None or coupling is None or r >= min(coupling.shape):
             return coupling, rep_fn
+        if self.params is not None:
+            # Rank licensing is PER MODEL (round-4: energy said rank 2
+            # was safe on v9p; hit rates said otherwise) — make the
+            # license travel with the params instead of the docs.
+            # Memoization in _spectral_parts means this runs once per
+            # (params, rank), not per dock.
+            kept, dev = coupling_deviation_capture(
+                coupling, r, shape_prior=self.config.shape_prior)
+            if dev > 1e-6 and kept < 0.95:
+                import warnings
+                lic = min_licensed_rank(
+                    coupling, shape_prior=self.config.shape_prior)
+                warnings.warn(
+                    f"coupling_rank={r} keeps only {kept:.0%} of this "
+                    f"model's learned coupling deviation (licensing "
+                    f"criterion >=95%, DESIGN.md round-4; rank 2 on "
+                    f"v9p collapsed global top-1 0.333->0.167). Use "
+                    f"coupling_rank>={lic} or None.", stacklevel=3)
         U, s, Vt = np.linalg.svd(np.asarray(coupling, np.float32))
         proj_rec = jnp.asarray(U[:, :r] * s[None, :r])   # [C, r]
         proj_lig = jnp.asarray(Vt[:r].T)                 # [C, r]

@@ -40,34 +40,22 @@ def main():
     # deviation and collapsed global top-1 0.333 -> 0.167 (below the
     # 0.271 shape baseline); rank 3 kept 96% of the deviation and was
     # hit-rate-identical to full rank AND to fp32.
-    if getattr(cfg, "shape_prior", False):
-        # Hybrid model: channels 0-1 are [surface, core] with the
-        # canonical coupling diag(1, -core_weight) — the init the
-        # training objective deviates FROM (models/representation.py
-        # shape_channels; core_weight default 12.0 there).
-        SB = np.zeros_like(A)
-        SB[0, 0] = 1.0
-        if A.shape[0] > 1:
-            SB[1, 1] = -12.0
-        prior_name = "shape_block"
-    else:
-        # Plain scoring model: identity-init coupling
-        # (models/scoring.py) is the zero point.
-        SB = np.eye(*A.shape)
-        prior_name = "identity"
-    dev = np.linalg.norm(A - SB)
+    # Shared licensing implementation — the same computation gates
+    # coupling_rank at dock time (pipeline._spectral_parts warns when
+    # the configured rank fails the >=95% deviation criterion).
+    from deeplocalproteindocking_tpu.pipeline import (
+        coupling_deviation_capture, min_licensed_rank)
+    sp = bool(getattr(cfg, "shape_prior", False))
+    prior_name = "shape_block" if sp else "identity"
+    _, dev = coupling_deviation_capture(A, 1, shape_prior=sp)
     print(f"coupling {A.shape}, ||A - {prior_name}|| = {dev:.4f}:")
     for r in range(1, len(s) + 1):
-        Ar = (U[:, :r] * s[:r]) @ Vt[:r]
-        lost = np.linalg.norm(A - Ar)
-        kept = 1.0 - lost / dev if dev > 0 else 1.0
+        kept, _ = coupling_deviation_capture(A, r, shape_prior=sp)
+        lost = (1.0 - kept) * dev
         print(f"  r={r:2d}  s={s[r - 1]:9.4f}  energy {cum[r - 1]:.5f}"
               f"  trunc-err {lost:.4f}  deviation kept {kept:6.1%}")
-    ok = [r for r in range(1, len(s) + 1)
-          if np.linalg.norm(A - (U[:, :r] * s[:r]) @ Vt[:r])
-          <= 0.05 * dev]
     print(f"smallest rank keeping >=95% of the learned deviation: "
-          f"{ok[0] if ok else len(s)}")
+          f"{min_licensed_rank(A, shape_prior=sp)}")
 
 
 if __name__ == "__main__":
