@@ -174,11 +174,18 @@ def main():
     detail["wallclock_seconds"] = round(value, 3)
     detail["chip_seconds"] = round(chip_seconds, 3)
     detail["target"] = f"<{BASELINE_SECONDS}s on v5e-8 (8 chips)"
+    # The workload is named by its rank so cross-commit numbers never
+    # conflate kernel speedups with a cheaper truncated-rank sweep
+    # (round-4 ADVICE): full rank keeps the historical metric name;
+    # the licensed default (rank 3) is explicit in both the name and
+    # the top-level record.
+    rank_tag = "" if rank is None else f"_rank{rank}"
     result = {
-        "metric": f"full_sweep_{n_rot}rot_{grid}grid_wallclock",
+        "metric": f"full_sweep_{n_rot}rot_{grid}grid{rank_tag}_wallclock",
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 3),
+        "coupling_rank": 0 if rank is None else rank,
     }
     wd.cancel()
     print(json.dumps(result))

@@ -12,17 +12,10 @@ from __future__ import annotations
 import ctypes
 
 from deeplocalproteindocking_tpu.native.pdb_native import (
-    _build, _LIB_PATH)
+    _build, _fresh_cdll, _LIB_PATH)
 
 
-def _load():
-    import os
-    if not os.path.exists(_LIB_PATH):
-        _build()
-    lib = ctypes.CDLL(_LIB_PATH)
-    if not hasattr(lib, "cif_tokenize_v1"):
-        _build(force=True)      # pre-CIF library: rebuild
-        lib = ctypes.CDLL(_LIB_PATH)
+def _bind_tokenizer(lib):
     lib.cif_tokenize_v1.restype = ctypes.c_void_p
     lib.cif_tokenize_v1.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                     ctypes.POINTER(ctypes.c_long)]
@@ -35,6 +28,20 @@ def _load():
     lib.cif_free.restype = None
     lib.cif_free.argtypes = [ctypes.c_void_p]
     return lib
+
+
+def _load():
+    import os
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "cif_tokenize_v1"):
+        # Pre-CIF library already dlopen'd somewhere in this process:
+        # rebuild, then load under a fresh inode (re-CDLLing the same
+        # path would return the cached stale handle — round-4 ADVICE).
+        _build(force=True)
+        lib = _fresh_cdll()
+    return _bind_tokenizer(lib)
 
 
 _lib = _load()
@@ -85,7 +92,10 @@ def _bind_atom_site(lib):
 
 if not hasattr(_lib, "cif_atom_site_v1"):
     _build(force=True)
-    _lib = _load()
+    _lib = _bind_tokenizer(_fresh_cdll())
+    if not hasattr(_lib, "cif_atom_site_v1"):
+        raise ImportError("rebuilt libpdbparse.so still lacks "
+                          "cif_atom_site_v1")
 _bind_atom_site(_lib)
 
 

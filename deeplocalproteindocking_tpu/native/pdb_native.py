@@ -41,13 +41,41 @@ def _bind(lib):
     return lib
 
 
+def _fresh_cdll():
+    """CDLL the just-rebuilt library under a FRESH inode.
+
+    dlopen caches by (device, inode): if this process already loaded a
+    stale ``libpdbparse.so`` and we rebuild in place, re-CDLLing the
+    same path returns the cached old handle and the new symbols never
+    appear (round-4 ADVICE).  Copy the rebuilt library to a temp file
+    and os.replace() it over an ABI-tagged name — the tagged path gets
+    a new inode every rebuild, so dlopen loads the fresh code.
+    """
+    import shutil
+    import tempfile
+
+    tagged = os.path.join(_NATIVE_DIR, "libpdbparse_loaded.so")
+    fd, tmp = tempfile.mkstemp(dir=_NATIVE_DIR, suffix=".so.tmp")
+    os.close(fd)
+    try:
+        shutil.copy2(_LIB_PATH, tmp)
+        os.replace(tmp, tagged)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return ctypes.CDLL(tagged)
+
+
 def _load():
     if not os.path.exists(_LIB_PATH):
         _build()
     lib = ctypes.CDLL(_LIB_PATH)   # raises OSError if still missing
     if not hasattr(lib, "pdb_parse_v2"):
         _build(force=True)         # stale pre-v2 library: rebuild
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = _fresh_cdll()
     return _bind(lib)
 
 

@@ -190,19 +190,26 @@ struct AtomSite {
 };
 
 inline bool missing(const std::string& v) {
-    return v.empty() || v == "." || v == "?";
+    // Only '.' and '?' are CIF null placeholders — an empty (quoted)
+    // token is a present-but-empty VALUE, exactly as in the Python
+    // parser's col(): an empty auth_seq_id skips the row via int(''),
+    // an empty group_PDB fails the ATOM/HETATM filter, etc.
+    return v == "." || v == "?";
 }
 
-inline void put_fixed(std::string& dst, const std::string& v, int w) {
+inline void put_fixed(std::string& dst, const std::string& v, int w,
+                      bool strip_quotes = false) {
     std::string s = v;
-    // Python strips surrounding double then single quotes from
-    // atom ids; harmless for other fields not passed through this.
-    size_t b = 0, e = s.size();
-    while (e > b && (s[b] == '"')) b++;
-    while (e > b && (s[e - 1] == '"')) e--;
-    while (e > b && (s[b] == '\'')) b++;
-    while (e > b && (s[e - 1] == '\'')) e--;
-    s = s.substr(b, e - b);
+    if (strip_quotes) {
+        // Python strips surrounding double then single quotes from
+        // atom ids ONLY (mmcif.py: names.strip('"').strip("'")).
+        size_t b = 0, e = s.size();
+        while (e > b && (s[b] == '"')) b++;
+        while (e > b && (s[e - 1] == '"')) e--;
+        while (e > b && (s[b] == '\'')) b++;
+        while (e > b && (s[e - 1] == '\'')) e--;
+        s = s.substr(b, e - b);
+    }
     for (int i = 0; i < w; i++)
         dst.push_back(i < static_cast<int>(s.size()) ? s[i] : ' ');
 }
@@ -225,7 +232,11 @@ void* cif_atom_site_v1(const char* text, long len, int include_het,
     };
     auto lit = [&](long i) { return toks->flags[i] != 0; };
     auto lower = [](std::string s) {
-        for (auto& c : s) c = static_cast<char>(::tolower(c));
+        // unsigned char first: ::tolower on a negative (non-ASCII)
+        // char is undefined behavior.
+        for (auto& c : s)
+            c = static_cast<char>(
+                ::tolower(static_cast<unsigned char>(c)));
         return s;
     };
     auto is_kw = [&](long i, const char* kw) {
@@ -337,17 +348,20 @@ void* cif_atom_site_v1(const char* text, long len, int include_het,
             std::string rs = cell2(c_rid_a, c_rid_l, "0");
             char* er;
             long rid = std::strtol(rs.c_str(), &er, 10);
-            if (*er) continue;                    // int(...) ValueError
+            // er == start: no digits consumed (e.g. an empty-quoted
+            // token) — Python's int('') raises and skips the row.
+            if (*er || er == rs.c_str()) continue;
             std::string os = cell(c_occ, "1.0");
             char* eo;
             double oc = std::strtod(os.c_str(), &eo);
-            if (*eo) oc = 1.0;                    // occupancy fallback
+            if (*eo || eo == os.c_str()) oc = 1.0;  // float(...) fallback
             out->xyz.push_back(static_cast<float>(x));
             out->xyz.push_back(static_cast<float>(y));
             out->xyz.push_back(static_cast<float>(z));
             out->occ.push_back(static_cast<float>(oc));
             out->rid.push_back(static_cast<int32_t>(rid));
-            put_fixed(out->names, cell2(c_nm_a, c_nm_l, ""), 8);
+            put_fixed(out->names, cell2(c_nm_a, c_nm_l, ""), 8,
+                      /*strip_quotes=*/true);
             put_fixed(out->res, cell2(c_rs_a, c_rs_l, ""), 4);
             put_fixed(out->chain, cell2(c_ch_a, c_ch_l, "A"), 2);
             put_fixed(out->icode, cell(c_ic, ""), 2);

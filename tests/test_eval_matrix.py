@@ -76,6 +76,32 @@ def test_eval_row_resumes_partial(graded):
     assert [r["name"] for r in out["complexes"]] == names
 
 
+def test_completed_row_fingerprint_guard():
+    """Round-5 (round-4 ADVICE): finished rows are protocol-guarded.
+    Same fingerprint -> reused; different -> discarded (recompute);
+    legacy rows without a fingerprint -> kept."""
+    fp_a = dict(n_rot=1536, grid=64, rank=0)
+    fp_b = dict(n_rot=1536, grid=64, rank=2)
+    row = dict(top1=0.5, top10=1.0, complexes=[], fingerprint=fp_a)
+
+    results = {"learned_global": dict(row)}
+    assert eval_matrix.completed_row_reusable(
+        results, "learned_global", fp_a)
+    assert "learned_global" in results
+
+    results = {"learned_global": dict(row)}
+    assert not eval_matrix.completed_row_reusable(
+        results, "learned_global", fp_b)
+    assert "learned_global" not in results            # discarded
+
+    legacy = {"learned_global": dict(top1=0.5, top10=1.0, complexes=[])}
+    assert eval_matrix.completed_row_reusable(
+        legacy, "learned_global", fp_b)               # kept, warned
+    assert "learned_global" in legacy
+
+    assert not eval_matrix.completed_row_reusable({}, "missing", fp_a)
+
+
 def test_eval_row_out_of_order_partial(graded):
     """Partial rows from a differently-ordered run still land in
     canonical complex order."""

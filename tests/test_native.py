@@ -230,8 +230,14 @@ class TestNativeCifTokenizer:
             for r in range(rng.randrange(1, 25)):
                 cells = []
                 for c in cols:
-                    if rng.random() < 0.08:
-                        cells.append(rng.choice([".", "?"]))
+                    if rng.random() < 0.12:
+                        # './?' are CIF nulls; an empty-quoted token is
+                        # a present-but-empty VALUE (round-4 ADVICE:
+                        # empty auth_seq_id must skip the row via
+                        # int(''), empty group_PDB must fail the
+                        # ATOM/HETATM filter — in BOTH parsers).
+                        cells.append(rng.choice(
+                            [".", "?", "''", '""']))
                     elif c == "group_PDB":
                         cells.append(rng.choice(
                             ["ATOM", "ATOM", "HETATM", "TER"]))

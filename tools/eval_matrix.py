@@ -87,6 +87,34 @@ def eval_row(dock_fn, complexes, label, partial=None, on_progress=None):
                 complexes=rows)
 
 
+def completed_row_reusable(results, key, fingerprint):
+    """Whether ``results[key]`` (a finished row) may be reused under
+    ``fingerprint``; discards the row from ``results`` when not.
+
+    Completed rows are fingerprint-guarded like partials (round-4
+    ADVICE): re-running with different EM_* env against the same file
+    must not silently mix two protocols in one matrix.  Legacy rows
+    (written before fingerprints existed) are kept with a warning —
+    discarding them would force a full recompute of every historical
+    matrix on first touch.
+    """
+    if key not in results:
+        return False
+    row_fp = (results[key].get("fingerprint")
+              if isinstance(results[key], dict) else None)
+    if row_fp is None:
+        print(f"keeping legacy row {key} (no fingerprint recorded); "
+              f"delete it to recompute under the current protocol",
+              flush=True)
+        return True
+    if row_fp == fingerprint:
+        return True
+    print(f"discarding completed row {key}: protocol changed "
+          f"({row_fp} -> {fingerprint})", flush=True)
+    del results[key]
+    return False
+
+
 def mode_dock_fn(pipe, mode, cfg, rescore_top=0):
     from deeplocalproteindocking_tpu.train.data_gen import (
         native_voxel_shift)
@@ -153,7 +181,7 @@ def main():
 
     def run_row(key, dock_fn, complexes):
         """Compute one matrix row with per-complex checkpoint/resume."""
-        if key in results:
+        if completed_row_reusable(results, key, fingerprint):
             return
         pkey = "_partial_" + key
         partial = results.get(pkey)
@@ -172,9 +200,10 @@ def main():
             results[pkey] = dict(fingerprint=fingerprint, rows=rows)
             checkpoint_row()
 
-        results[key] = eval_row(dock_fn, complexes, key,
-                                partial=partial,
-                                on_progress=on_progress)
+        row = eval_row(dock_fn, complexes, key,
+                       partial=partial, on_progress=on_progress)
+        row["fingerprint"] = fingerprint
+        results[key] = row
         results.pop(pkey, None)
         checkpoint_row()
 
@@ -225,10 +254,16 @@ def main():
                 return lpipe.rescore(c.receptor, c.ligand, poses,
                                      top=16, aggregate=agg)
 
-            run_row("learned_rerank_global", rerank_fn, complexes)
-            print("global learned_rerank:",
-                  results["learned_rerank_global"]["top1"],
-                  results["learned_rerank_global"]["top10"],
+            # Aggregator is part of the row identity (round-4 VERDICT
+            # weak #8): max vs topmean rows must not collide under one
+            # key.  The default aggregator keeps the historical key so
+            # existing matrices resume cleanly.
+            rkey = ("learned_rerank_global" if agg == "max"
+                    else f"learned_rerank_global_{agg}")
+            run_row(rkey, rerank_fn, complexes)
+            print(f"global learned_rerank[{agg}]:",
+                  results[rkey]["top1"],
+                  results[rkey]["top10"],
                   flush=True)
 
     results["protocol"] = dict(n_rotations=n_rot, grid=grid,
