@@ -8,6 +8,7 @@ re-docking finished complexes, (c) produce rows in canonical complex
 order regardless of the resume split.
 """
 import importlib.util
+import json
 import os
 import sys
 
@@ -100,6 +101,34 @@ def test_completed_row_fingerprint_guard():
     assert "learned_global" in legacy
 
     assert not eval_matrix.completed_row_reusable({}, "missing", fp_a)
+
+
+def test_significance_pooled_bands(tmp_path):
+    """'+'-joined row specs pool disjoint bands; overlap is an error."""
+    _spec2 = importlib.util.spec_from_file_location(
+        "significance", os.path.join(os.path.dirname(__file__), "..",
+                                     "tools", "significance.py"))
+    sig = importlib.util.module_from_spec(_spec2)
+    _spec2.loader.exec_module(sig)
+
+    def matrix(path, seeds, hits):
+        rows = [dict(name=f"synth{s}", hit_top1=h, hit_top10=True)
+                for s, h in zip(seeds, hits)]
+        with open(path, "w") as f:
+            json.dump({"learned": dict(top1=0, top10=0,
+                                       complexes=rows)}, f)
+
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    matrix(a, [100, 101], [True, False])
+    matrix(b, [300, 301], [True, True])
+    merged, label = sig.load_row(f"{a}:learned+{b}:learned", None)
+    assert sorted(merged) == ["synth100", "synth101", "synth300",
+                              "synth301"]
+    assert label == "learned"
+    assert sum(bool(r["hit_top1"]) for r in merged.values()) == 3
+
+    with pytest.raises(SystemExit, match="overlap"):
+        sig.load_row(f"{a}:learned+{a}:learned", None)
 
 
 def test_eval_row_out_of_order_partial(graded):

@@ -9,6 +9,11 @@ Usage:
     python tools/significance.py MATRIX.json rowA rowB [metric]
     python tools/significance.py MATRIX_A.json:rowA MATRIX_B.json:rowB
 
+A spec may union several disjoint held-out bands with '+' — e.g.
+``m48.json:learned_local+m48_band300.json:learned_local`` pools the
+seed-100 and seed-300 bands into one McNemar test (complex names are
+``synth<seed>``, so bands never collide; duplicates are an error).
+
 metric defaults to hit_top1 (hit_top10 also valid).
 """
 from __future__ import annotations
@@ -18,7 +23,7 @@ import math
 import sys
 
 
-def load_row(spec: str, default_path: str | None):
+def _load_one(spec: str, default_path: str | None):
     if ":" in spec:
         path, row = spec.rsplit(":", 1)
     else:
@@ -26,6 +31,22 @@ def load_row(spec: str, default_path: str | None):
     with open(path) as f:
         d = json.load(f)
     return {r["name"]: r for r in d[row]["complexes"]}, row
+
+
+def load_row(spec: str, default_path: str | None):
+    """'+'-joined specs pool disjoint bands into one per-complex dict."""
+    merged: dict = {}
+    rows = []
+    for part in spec.split("+"):
+        one, row = _load_one(part, default_path)
+        dup = set(merged) & set(one)
+        if dup:
+            raise SystemExit(
+                f"bands overlap on {sorted(dup)[:4]}... — pooled "
+                f"McNemar needs disjoint complex sets")
+        merged.update(one)
+        rows.append(row)
+    return merged, "+".join(dict.fromkeys(rows))
 
 
 def binom_tail(b: int, n: int) -> float:
