@@ -52,6 +52,70 @@ def shape_channels(vol: jnp.ndarray, *, core_weight: float = 12.0,
     return rep, coupling
 
 
+class _LoweringConv(nn.Module):
+    """First-layer 3-D conv with a selectable TPU lowering.
+
+    The sweep's per-rotation CNN cost is conv1-heavy: its input is the
+    11-type density, and 11 channels sit badly on the 128-lane VREG
+    layout (the round-4 profile put the CNN at ~0.106 ms/rot vs an MXU
+    ideal of ~6 us).  ``DLPD_CONV1`` selects the lowering at trace
+    time (same restart semantics as ``DLPD_FUSED_TOPK``):
+
+      xla      lax.conv_general_dilated as-is (default — candidates
+               are only promoted after tools/exp_conv1.py measures a
+               win on hardware)
+      pad16    zero-pad C_in -> 16 on both input and kernel before the
+               same conv (sublane-aligned loads; numerically identical
+               — padded channels contribute exact zeros)
+      patches  explicit im2col: conv_general_dilated_patches -> one
+               [N*L^3, 27*C_in] x [27*C_in, C_out] GEMM
+
+    Param tree matches ``nn.Conv`` exactly ("kernel"/"bias", lecun
+    normal / zeros) so existing checkpoints load unchanged.
+    """
+    features: int
+    kernel: Tuple[int, int, int]
+    dtype: jnp.dtype
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.kernel + (cin, self.features))
+        w = w.astype(self.dtype)
+        lead = x.shape[:-4]          # fold any extra batch dims (like
+        x = x.reshape((-1,) + x.shape[-4:])   # nn.Conv does)
+        impl = os.environ.get("DLPD_CONV1", "xla")
+        if impl == "pad16":
+            pad = (-cin) % 16
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+            w = jnp.pad(w, [(0, 0)] * 3 + [(0, pad), (0, 0)])
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        elif impl == "patches":
+            n, d, h, wd, _ = x.shape
+            p = jax.lax.conv_general_dilated_patches(
+                x, self.kernel, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            # patches feature order is (C_in, *kernel_spatial):
+            # fold the kernel to match (parity-tested vs xla).
+            wf = w.transpose(3, 0, 1, 2, 4).reshape(-1, self.features)
+            y = (p.reshape(-1, p.shape[-1]) @ wf).reshape(
+                n, d, h, wd, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,))
+            y = y + b.astype(self.dtype)
+        return y.reshape(lead + y.shape[1:])
+
+
 class Representation(nn.Module):
     features: Tuple[int, ...] = (32, 32, 16)
     kernel: int = 3
@@ -66,8 +130,14 @@ class Representation(nn.Module):
         x = x.astype(self.dtype)
         k = (self.kernel,) * 3
         for i, f in enumerate(self.features):
-            x = nn.Conv(f, k, padding="SAME", dtype=self.dtype,
-                        use_bias=self.use_bias, name=f"conv{i}")(x)
+            if i == 0:
+                x = _LoweringConv(features=f, kernel=k,
+                                  dtype=self.dtype,
+                                  use_bias=self.use_bias,
+                                  name="conv0")(x)
+            else:
+                x = nn.Conv(f, k, padding="SAME", dtype=self.dtype,
+                            use_bias=self.use_bias, name=f"conv{i}")(x)
             if i + 1 < len(self.features):
                 x = nn.elu(x)
         x = x.astype(jnp.float32)
