@@ -43,6 +43,7 @@ _SLOW_MODULES = {
     "test_pallas_idft",
     "test_hybrid",       # shape-prior equivalence sweeps
     "test_cli",          # subprocess CLI invocations
+    "test_properties",   # hypothesis sweeps (25 examples x property)
 }
 
 
