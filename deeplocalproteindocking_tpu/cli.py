@@ -332,14 +332,155 @@ def cmd_train(args):
           f"{args.ckpt_dir}")
 
 
+def _probe_backend(timeout: float):
+    """Backend identity + device count, WITHOUT risking a hang.
+
+    Tunneled TPU platforms hang indefinitely at backend init when the
+    remote terminal is down (observed: a multi-day relay outage where
+    the first device op never returned) — so the probe runs in a
+    subprocess that can be killed.  Returns a dict; ``ok=False``
+    carries the reason.
+    """
+    import subprocess
+    # Import the package first so DLPD_PLATFORM is honored in the
+    # probe too (bare `import jax` would ignore it and hang on the
+    # plugin backend the user is trying to bypass).
+    code = ("import deeplocalproteindocking_tpu, jax, json; "
+            "d = jax.devices(); "
+            "print(json.dumps({'backend': jax.default_backend(), "
+            "'n_devices': len(d), 'device0': str(d[0])}))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return dict(ok=False,
+                    error=f"backend init hung >{timeout:.0f}s "
+                          f"(TPU tunnel down? DLPD_PLATFORM=cpu "
+                          f"forces the CPU backend)")
+    if r.returncode != 0:
+        return dict(ok=False, error=(r.stderr or "").strip()[-400:])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    out["ok"] = True
+    return out
+
+
 def cmd_info(args):
-    import jax
     from deeplocalproteindocking_tpu.config import PRESETS
-    print("devices:", jax.devices())
+    probe = _probe_backend(timeout=60.0)
+    if probe.get("ok"):
+        print(f"devices: {probe['n_devices']} x {probe['device0']} "
+              f"({probe['backend']})")
+    else:
+        print(f"devices: UNAVAILABLE — {probe['error']}")
     print("presets:")
     for name, cfg in PRESETS.items():
         print(f"  {name}: grid={cfg.grid_size} rot={cfg.num_rotations} "
               f"topk={cfg.top_k} mesh=({cfg.mesh_rot},{cfg.mesh_batch})")
+
+
+def cmd_doctor(args):
+    """Operational diagnostics: backend, native libs, kernel
+    eligibility, checkpoint rank license.  Never hangs (SURVEY.md §5.3
+    failure detection; the backend probe is subprocess-timeout-guarded).
+    """
+    report = {}
+
+    probe = _probe_backend(timeout=args.timeout)
+    report["backend"] = probe
+    if probe.get("ok"):
+        print(f"[ok]   backend: {probe['backend']} "
+              f"({probe['n_devices']} device(s), {probe['device0']})")
+    else:
+        print(f"[FAIL] backend: {probe['error']}")
+
+    # Native fast paths (optional — pure-Python fallbacks exist).
+    for mod, syms in [("pdb_native", ["pdb_parse_v2"]),
+                      ("cif_native", ["cif_tokenize_v1",
+                                      "cif_atom_site_v1"])]:
+        try:
+            import importlib
+            m = importlib.import_module(
+                f"deeplocalproteindocking_tpu.native.{mod}")
+            missing = [s for s in syms if not hasattr(m._lib, s)]
+            if missing:
+                print(f"[warn] native {mod}: loaded but missing "
+                      f"{missing} (pure-Python fallback active)")
+                report[mod] = dict(ok=False, missing=missing)
+            else:
+                print(f"[ok]   native {mod}: {', '.join(syms)}")
+                report[mod] = dict(ok=True)
+        except Exception as e:  # noqa: BLE001 — diagnostics must not die
+            print(f"[warn] native {mod}: unavailable "
+                  f"({type(e).__name__}: {e}) — pure-Python fallback")
+            report[mod] = dict(ok=False, error=str(e))
+
+    # Compilation cache (count entries across backend subdirs).
+    from deeplocalproteindocking_tpu.utils.cache import cache_dir
+    cd = cache_dir()
+    n_entries = sum(len(fs) for _, _, fs in os.walk(cd)) \
+        if os.path.isdir(cd) else 0
+    print(f"[ok]   compile cache: {cd} ({n_entries} entries)")
+    report["cache"] = dict(path=cd, entries=n_entries)
+
+    # Fused-kernel eligibility at the configured geometry.
+    cfg = _build_config(args) if hasattr(args, "preset") else None
+    if cfg is not None:
+        L = cfg.grid_size
+        elig = (cfg.fft_impl == "dft_fused" and L % 32 == 0)
+        on_tpu = probe.get("ok") and probe.get("backend") == "tpu"
+        env = os.environ.get("DLPD_FUSED_TOPK", "")
+        state = ("forced off (DLPD_FUSED_TOPK=0)" if env == "0" else
+                 "eligible" if elig and on_tpu else
+                 "ineligible (needs dft_fused engine + grid%32==0 + "
+                 "TPU backend)")
+        print(f"[ok]   fused invz+topk at grid {L}: {state}")
+        report["fused_topk"] = dict(grid=L, state=state)
+
+    # Checkpoint rank license (DESIGN.md round-4 criterion).  Runs in
+    # a CPU-forced subprocess: the Orbax restore device-puts params,
+    # which would hang on a dead TPU tunnel.
+    if args.checkpoint:
+        import subprocess
+        code = (
+            "import json, sys, numpy as np\n"
+            "from deeplocalproteindocking_tpu.pipeline import ("
+            "coupling_deviation_capture, min_licensed_rank)\n"
+            "from deeplocalproteindocking_tpu.config import DockConfig\n"
+            "from deeplocalproteindocking_tpu.train import Trainer\n"
+            "ck = sys.argv[1]\n"
+            "import os\n"
+            "tcfg = DockConfig.from_json("
+            "open(os.path.join(ck, 'config.json')).read())\n"
+            "state = Trainer(tcfg).restore(ck)\n"
+            "A = np.asarray(state.params['coupling'])\n"
+            "sp = bool(getattr(tcfg, 'shape_prior', False))\n"
+            "lic = min_licensed_rank(A, shape_prior=sp)\n"
+            "kept, dev = coupling_deviation_capture("
+            "A, lic, shape_prior=sp)\n"
+            "print(json.dumps(dict(shape=list(A.shape), "
+            "licensed_rank=lic, kept=kept, deviation=dev)))\n")
+        env = dict(os.environ, DLPD_PLATFORM="cpu")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code, args.checkpoint],
+                capture_output=True, text=True, timeout=args.timeout,
+                env=env)
+            if r.returncode != 0:
+                raise RuntimeError((r.stderr or "").strip()[-300:])
+            lic = json.loads(r.stdout.strip().splitlines()[-1])
+            print(f"[ok]   checkpoint coupling {tuple(lic['shape'])}: "
+                  f"licensed rank >= {lic['licensed_rank']} (keeps "
+                  f"{lic['kept']:.0%} of the learned deviation "
+                  f"||A-prior||={lic['deviation']:.4f})")
+            report["license"] = lic
+        except Exception as e:  # noqa: BLE001 — diagnostics must not die
+            print(f"[warn] checkpoint license: {e}")
+            report["license"] = dict(ok=False, error=str(e))
+
+    ok = probe.get("ok", False)
+    print(json.dumps({"doctor_ok": bool(ok)}))
+    return 0 if ok else 1
 
 
 def main(argv=None):
@@ -446,12 +587,29 @@ def main(argv=None):
     p.set_defaults(fn=cmd_screen)
 
     p = sub.add_parser("info", help="devices and presets")
-    p.set_defaults(fn=cmd_info)
+    p.set_defaults(fn=cmd_info, needs_jax=False)
+
+    p = sub.add_parser(
+        "doctor",
+        help="operational diagnostics: backend (hang-proof probe), "
+             "native libs, compile cache, fused-kernel eligibility, "
+             "checkpoint rank license")
+    p.add_argument("--checkpoint", default=None,
+                   help="also report this checkpoint's coupling-rank "
+                        "license (dir containing config.json)")
+    p.add_argument("--timeout", type=float, default=60.0,
+                   help="backend probe timeout seconds")
+    _add_config_args(p)
+    p.set_defaults(fn=cmd_doctor, needs_jax=False)
 
     args = ap.parse_args(argv)
-    from deeplocalproteindocking_tpu.utils.cache import (
-        enable_compilation_cache)
-    enable_compilation_cache()
+    if getattr(args, "needs_jax", True):
+        # info/doctor skip this: enable_compilation_cache initializes
+        # the backend, which HANGS (not fails) when the TPU tunnel is
+        # down — diagnostics must run exactly then.
+        from deeplocalproteindocking_tpu.utils.cache import (
+            enable_compilation_cache)
+        enable_compilation_cache()
     return args.fn(args)
 
 

@@ -10,6 +10,17 @@ from __future__ import annotations
 import os
 
 
+def cache_dir() -> str:
+    """Base persistent-cache directory (backend subdirs live under it).
+
+    Importable without initializing any JAX backend — diagnostics
+    (``cli doctor``) must be able to report the cache while the TPU
+    tunnel is down.
+    """
+    return os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
     try:
@@ -20,8 +31,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
         # Namespaced per backend so stale CPU-keyed AOT artifacts from
         # another host can never be loaded here (they carry host CPU
         # feature flags and risk SIGILL; observed round 1).
-        base = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                      "/root/.cache/jax_comp")
+        base = path or cache_dir()
         path = os.path.join(base, jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -71,3 +71,18 @@ class TestCLI:
         assert z["shifts"].shape == (8, 3)
         assert z["lrmsd"].shape == (8,)
         assert z["lrmsd"][0] < 1e-4      # decoy 0 is the native pose
+
+    def test_doctor_and_info_never_hang(self, monkeypatch, capsys):
+        # doctor/info must work while the TPU tunnel is down (their
+        # whole point); DLPD_PLATFORM=cpu makes the probe subprocess
+        # healthy here. needs_jax=False: neither may trigger backend
+        # init in-process.
+        monkeypatch.setenv("DLPD_PLATFORM", "cpu")
+        rc = main(["doctor", "--timeout", "90"])
+        out = capsys.readouterr().out
+        assert '"doctor_ok": true' in out
+        assert "native pdb_native" in out
+        assert rc == 0
+        main(["info"])
+        out = capsys.readouterr().out
+        assert "presets:" in out and "devices:" in out
