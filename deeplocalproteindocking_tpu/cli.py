@@ -360,7 +360,15 @@ def _probe_backend(timeout: float):
                           f"forces the CPU backend)")
     if r.returncode != 0:
         return dict(ok=False, error=(r.stderr or "").strip()[-400:])
-    out = json.loads(r.stdout.strip().splitlines()[-1])
+    # PJRT plugins / sitecustomize may interleave warnings with the
+    # JSON on stdout, or swallow it while exiting 0 — a malformed
+    # probe must degrade to ok=False, not crash the diagnostics.
+    try:
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+    except (IndexError, ValueError):
+        return dict(ok=False,
+                    error=f"probe emitted no JSON "
+                          f"(stdout tail: {(r.stdout or '')[-200:]!r})")
     out["ok"] = True
     return out
 
@@ -423,19 +431,43 @@ def cmd_doctor(args):
     print(f"[ok]   compile cache: {cd} ({n_entries} entries)")
     report["cache"] = dict(path=cd, entries=n_entries)
 
-    # Fused-kernel eligibility at the configured geometry.
+    # Fused-kernel eligibility at the configured geometry — mirrors
+    # sweep/resplat.py's REAL auto-engage rule (resolve_engine's block
+    # fallback above 128^3, exact top-K, the compile-validated grid
+    # allowlist) so an operator tuning from doctor output is told
+    # exactly what production will do.
     cfg = _build_config(args) if hasattr(args, "preset") else None
     if cfg is not None:
+        from deeplocalproteindocking_tpu.correlate.fft import (
+            resolve_engine)
         L = cfg.grid_size
-        elig = (cfg.fft_impl == "dft_fused" and L % 32 == 0)
+        engine = resolve_engine(cfg.fft_impl, L)
         on_tpu = probe.get("ok") and probe.get("backend") == "tpu"
         env = os.environ.get("DLPD_FUSED_TOPK", "")
-        state = ("forced off (DLPD_FUSED_TOPK=0)" if env == "0" else
-                 "eligible" if elig and on_tpu else
-                 "ineligible (needs dft_fused engine + grid%32==0 + "
-                 "TPU backend)")
+        eligible = (engine == "dft_fused" and cfg.topk_impl == "exact"
+                    and L % 32 == 0 and on_tpu)
+        if env == "0":
+            state = "forced off (DLPD_FUSED_TOPK=0)"
+        elif not eligible:
+            why = []
+            if engine != "dft_fused":
+                why.append(f"engine resolves to {engine!r} — needs "
+                           f"dft_fused (grids >128 fall back to block)")
+            if cfg.topk_impl != "exact":
+                why.append(f"topk_impl={cfg.topk_impl!r} — needs exact")
+            if L % 32:
+                why.append(f"grid {L} % 32 != 0")
+            if not on_tpu:
+                why.append("backend is not TPU")
+            state = "ineligible: " + "; ".join(why)
+        elif L in (64, 128) or env == "1":
+            state = "auto-on"
+        else:
+            state = (f"eligible but auto-off: grid {L} is outside the "
+                     f"compile-validated allowlist (64, 128); "
+                     f"DLPD_FUSED_TOPK=1 forces it on")
         print(f"[ok]   fused invz+topk at grid {L}: {state}")
-        report["fused_topk"] = dict(grid=L, state=state)
+        report["fused_topk"] = dict(grid=L, engine=engine, state=state)
 
     # Checkpoint rank license (DESIGN.md round-4 criterion).  Runs in
     # a CPU-forced subprocess: the Orbax restore device-puts params,
@@ -479,7 +511,9 @@ def cmd_doctor(args):
             report["license"] = dict(ok=False, error=str(e))
 
     ok = probe.get("ok", False)
-    print(json.dumps({"doctor_ok": bool(ok)}))
+    # Machine-readable final line (same one-JSON-line convention as
+    # bench.py / validate_fused_batch.py) so doctor is scriptable.
+    print(json.dumps(dict(doctor_ok=bool(ok), **report)))
     return 0 if ok else 1
 
 

@@ -155,9 +155,9 @@ def _invz_blockmax_batchable(interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, Dre, Dim, MzRe, MzIm, bias):
-        db, _, mzb, _, bb = in_batched
+        db, dib, mzb, mzib, bb = in_batched
         n = axis_size
-        if mzb or in_batched[3]:
+        if mzb or mzib:
             # Per-batch inverse twiddles never occur in this codebase
             # (Mz depends only on the static grid size); if they ever
             # do, fall back to a sequential map rather than mis-fold.
@@ -166,8 +166,12 @@ def _invz_blockmax_batchable(interpret: bool):
                     for a, ab in zip((Dre, Dim, MzRe, MzIm, bias),
                                      in_batched)]
             return jax.lax.map(lambda a: f(*a), tuple(args)), True
+        # Dre/Dim broadcast INDEPENDENTLY: an asymmetric vmap (one of
+        # them closed over) must not reshape an unbatched [K, X, Y]
+        # into the folded [n*b, ...] layout.
         if not db:
             Dre = jnp.broadcast_to(Dre[None], (n,) + Dre.shape)
+        if not dib:
             Dim = jnp.broadcast_to(Dim[None], (n,) + Dim.shape)
         b = Dre.shape[1]
         Dre2 = Dre.reshape((n * b,) + Dre.shape[2:])

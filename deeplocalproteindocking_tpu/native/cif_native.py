@@ -37,8 +37,9 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     if not hasattr(lib, "cif_tokenize_v1"):
         # Pre-CIF library already dlopen'd somewhere in this process:
-        # rebuild, then load under a fresh inode (re-CDLLing the same
-        # path would return the cached stale handle — round-4 ADVICE).
+        # rebuild, then load under a fresh unique pathname (re-CDLLing
+        # any previously-seen path returns the cached stale handle —
+        # round-4 ADVICE + round-5 review).
         _build(force=True)
         lib = _fresh_cdll()
     return _bind_tokenizer(lib)

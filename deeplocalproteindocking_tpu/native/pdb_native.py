@@ -42,31 +42,34 @@ def _bind(lib):
 
 
 def _fresh_cdll():
-    """CDLL the just-rebuilt library under a FRESH inode.
+    """CDLL the just-rebuilt library under a FRESH unique pathname.
 
-    dlopen caches by (device, inode): if this process already loaded a
-    stale ``libpdbparse.so`` and we rebuild in place, re-CDLLing the
-    same path returns the cached old handle and the new symbols never
-    appear (round-4 ADVICE).  Copy the rebuilt library to a temp file
-    and os.replace() it over an ABI-tagged name — the tagged path gets
-    a new inode every rebuild, so dlopen loads the fresh code.
+    dlopen returns the cached handle for an already-loaded object, and
+    glibc matches loaded objects by PATHNAME before it ever stats the
+    file — so both re-CDLLing ``libpdbparse.so`` itself (round-4
+    ADVICE) and re-CDLLing any fixed "tagged" alias (round-5 review)
+    hand back the first, stale mapping on every later rebuild in the
+    same process.  Each call therefore copies the rebuilt library to a
+    path no dlopen has ever seen and unlinks it right after loading
+    (the mapping survives the unlink on Linux), so repeat rebuilds
+    always surface their new symbols and no stray .so accumulates.
     """
     import shutil
     import tempfile
 
-    tagged = os.path.join(_NATIVE_DIR, "libpdbparse_loaded.so")
-    fd, tmp = tempfile.mkstemp(dir=_NATIVE_DIR, suffix=".so.tmp")
+    fd, tmp = tempfile.mkstemp(dir=_NATIVE_DIR,
+                               prefix="libpdbparse_loaded.",
+                               suffix=".so")
     os.close(fd)
     try:
         shutil.copy2(_LIB_PATH, tmp)
-        os.replace(tmp, tagged)
-    except OSError:
+        lib = ctypes.CDLL(tmp)
+    finally:
         try:
             os.unlink(tmp)
         except OSError:
             pass
-        raise
-    return ctypes.CDLL(tagged)
+    return lib
 
 
 def _load():

@@ -680,13 +680,9 @@ class DockingPipeline:
         # the same factor (round-4 ADVICE medium: the ensemble path
         # omitted the scaling that fixed the rescore/eval TPU worker
         # crashes).
-        per_dev = min(pair_batch, len(pair_list))
-        if self.mesh is not None and "batch" in self.mesh.shape:
-            per_dev = -(-per_dev // self.mesh.shape["batch"])
         kwb = dict(grid_size=cfg.grid_size, lig_grid=lig_grid,
                    resolution=cfg.resolution, sigma=cfg.sigma,
                    num_types=cfg.num_atom_types, top_k=cfg.top_k,
-                   chunk=max(1, cfg.rotation_chunk // max(per_dev, 1)),
                    fft_impl=impl,
                    dft_dtype=cfg.dft_dtype, fft_block=cfg.fft_block)
         all_scores, all_rot, all_shift, tags = [], [], [], []
@@ -704,6 +700,16 @@ class DockingPipeline:
                     set(mesh.shape) >= {"batch", "rot"}
                     and B % mesh.shape["batch"] == 0):
                 mesh = None    # dock()'s rot-only mesh: vmap instead
+            # Per-DEVICE pair count decides the chunk scale, and it
+            # depends on whether THIS batch actually sharded: the
+            # vmap fallback above puts all B pairs on every device, so
+            # scaling by B/mesh_batch there would re-open the
+            # per-device memory-amplification crash class the scaling
+            # exists to close.
+            per_dev = (B if mesh is None
+                       else -(-B // mesh.shape["batch"]))
+            kwb["chunk"] = max(1, cfg.rotation_chunk
+                               // max(per_dev, 1))
             res = dock_batch(mesh, H, lc, lt, lm, rotations, rep_fn,
                              score_mask=sm, **kwb)
             all_scores.append(np.asarray(res.scores).reshape(-1))

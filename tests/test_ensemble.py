@@ -188,6 +188,42 @@ class TestDockEnsemble:
         # 4 pairs on one device, rotation_chunk=2 -> chunk max(1, 2//4).
         assert seen["chunk"] == 1
 
+    def test_chunk_follows_actual_mesh_decision(self):
+        """The chunk scale uses the per-DEVICE pair count of the mesh
+        decision actually taken per batch: a pair count divisible by
+        the mesh batch axis shards (per_dev = B / mesh_batch); a
+        non-divisible one falls back to vmap with ALL B pairs on every
+        device, so the chunk must shrink by B (round-5 review: scaling
+        the fallback by B/mesh_batch re-opens the per-device
+        memory-amplification crash class)."""
+        import jax
+        from unittest import mock
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        from deeplocalproteindocking_tpu.parallel import (
+            batch_eval, make_mesh)
+        cfg = DockConfig(grid_size=32, resolution=1.5,
+                         rep_features=(4,), num_rotations=4,
+                         rotation_chunk=4, top_k=8, splat_window=4,
+                         fft_impl="dft", nms_rmsd=3.0)
+        pipe = DockingPipeline(config=cfg, mesh=make_mesh(rot=4, batch=2))
+        c = synthetic_complex(seed=7, n_res_rec=5, n_res_lig=3)
+        calls = []
+        orig = batch_eval.dock_batch
+
+        def spy(mesh_arg, *a, **k):
+            calls.append((mesh_arg is not None, k.get("chunk")))
+            return orig(mesh_arg, *a, **k)
+
+        with mock.patch.object(batch_eval, "dock_batch",
+                               side_effect=spy):
+            # B=2 divides mesh batch 2 -> sharded, per_dev=1, chunk=4.
+            pipe.dock_ensemble([c.receptor], [c.ligand, c.ligand])
+            # B=3 does not -> vmap fallback, per_dev=3, chunk=4//3=1.
+            pipe.dock_ensemble([c.receptor], [c.ligand] * 3)
+        assert calls[0] == (True, 4)
+        assert calls[1] == (False, 1)
+
     def test_zip_pairing_validation(self):
         pipe = self._pipe()
         c = synthetic_complex(seed=3, n_res_rec=5, n_res_lig=3)

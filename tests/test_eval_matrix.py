@@ -103,6 +103,33 @@ def test_completed_row_fingerprint_guard():
     assert not eval_matrix.completed_row_reusable({}, "missing", fp_a)
 
 
+def test_fingerprint_agg_only_guards_rerank_rows():
+    """EM_AGG changes row identity ONLY for the rerank row (whose key
+    already encodes a non-default aggregator): adding a topmean rerank
+    column to an existing matrix must not discard the agg-independent
+    rows it shares the file with (round-5 review)."""
+    fp_max = dict(n_rot=1536, grid=64, rank=0, agg="max")
+    fp_topmean = dict(fp_max, agg="topmean")
+    row = dict(top1=0.5, top10=1.0, complexes=[], fingerprint=fp_max)
+
+    # Agg-independent row: reused across the agg change.
+    results = {"shape_global": dict(row)}
+    assert eval_matrix.completed_row_reusable(
+        results, "shape_global", fp_topmean)
+    assert "shape_global" in results
+
+    # Rerank row: agg IS its identity -> discarded on mismatch.
+    results = {"learned_rerank_global": dict(row)}
+    assert not eval_matrix.completed_row_reusable(
+        results, "learned_rerank_global", fp_topmean)
+    assert "learned_rerank_global" not in results
+
+    # Any OTHER knob still discards agg-independent rows.
+    assert not eval_matrix.completed_row_reusable(
+        {"shape_global": dict(row)}, "shape_global",
+        dict(fp_max, rank=2))
+
+
 def test_significance_pooled_bands(tmp_path):
     """'+'-joined row specs pool disjoint bands; overlap is an error."""
     _spec2 = importlib.util.spec_from_file_location(

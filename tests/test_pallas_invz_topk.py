@@ -114,6 +114,14 @@ def test_blockmax_vmap_folds_into_b_axis():
                         for i in range(n)])
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                rtol=2e-4, atol=1e-3)
+    # Asymmetric vmap: Dim closed over — must broadcast Dim alone, not
+    # piggyback on Dre's batched flag (round-5 review).
+    Dim_0 = Dim_n[0]
+    got_a = jax.vmap(lambda dr, bi: fn(dr, Dim_0, bi))(Dre_n, bias_n)
+    want_a = jnp.stack([fn(Dre_n[i], Dim_0, bias_n[i])
+                        for i in range(n)])
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=2e-4, atol=1e-3)
 
 
 def test_blockmax_grouped_bias_direct():

@@ -87,6 +87,23 @@ def eval_row(dock_fn, complexes, label, partial=None, on_progress=None):
                 complexes=rows)
 
 
+def fingerprints_match(row_fp, fingerprint, key):
+    """Protocol equality for row ``key``, ignoring knobs the row does
+    not depend on.
+
+    ``agg`` only affects the rerank row (whose key already encodes a
+    non-default aggregator); comparing it for every row would make a
+    later ``EM_AGG=topmean`` run — whose stated purpose is ADDING a
+    second rerank row to an existing matrix — silently discard and
+    recompute all the agg-independent rows it shares the file with.
+    """
+    if not key.startswith("learned_rerank"):
+        def strip(fp):
+            return {k: v for k, v in fp.items() if k != "agg"}
+        return strip(row_fp) == strip(fingerprint)
+    return row_fp == fingerprint
+
+
 def completed_row_reusable(results, key, fingerprint):
     """Whether ``results[key]`` (a finished row) may be reused under
     ``fingerprint``; discards the row from ``results`` when not.
@@ -107,7 +124,7 @@ def completed_row_reusable(results, key, fingerprint):
               f"delete it to recompute under the current protocol",
               flush=True)
         return True
-    if row_fp == fingerprint:
+    if fingerprints_match(row_fp, fingerprint, key):
         return True
     print(f"discarding completed row {key}: protocol changed "
           f"({row_fp} -> {fingerprint})", flush=True)
@@ -188,7 +205,9 @@ def main():
         if isinstance(partial, list):      # pre-fingerprint format
             partial = dict(fingerprint=None, rows=partial)
         if partial is not None:
-            if partial.get("fingerprint") != fingerprint:
+            if not (partial.get("fingerprint") is not None
+                    and fingerprints_match(partial["fingerprint"],
+                                           fingerprint, key)):
                 print(f"discarding partial {key}: protocol changed "
                       f"({partial.get('fingerprint')} -> {fingerprint})",
                       flush=True)

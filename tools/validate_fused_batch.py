@@ -131,8 +131,13 @@ def main() -> int:
         scale = float(np.max(np.abs(a[key]))) or 1.0
         diffs[key] = d
         # Exact top-K on identical float32 math: both paths must agree
-        # to accumulation-order noise only.
-        if not np.isfinite(a[key]).all() or d > 1e-3 * scale:
+        # to accumulation-order noise only.  BOTH sides must be finite
+        # and the tolerance test is written NaN-safe (`not (d <= tol)`)
+        # — a NaN-producing fused kernel is precisely the failure this
+        # tool exists to catch, and `NaN > tol` is False.
+        if (not np.isfinite(a[key]).all()
+                or not np.isfinite(b[key]).all()
+                or not (d <= 1e-3 * scale)):
             ok = False
     same_shifts = bool(
         np.array_equal(a["dock_shifts"], b["dock_shifts"])
