@@ -170,3 +170,33 @@ def test_eval_row_out_of_order_partial(graded):
                                "t", partial=partial)
     assert [r["name"] for r in out["complexes"]] == names
     assert out["complexes"][2]["hit_top10"] is True
+
+
+def test_seed_disjointness_guard(tmp_path, monkeypatch):
+    """Bands overlapping the checkpoint's train/val seeds are refused.
+
+    Round-5 near-miss: the flagship trained on seeds 200..1223
+    (TF_SEEDS=1024), so the planned 'disjoint' second band at 300-347
+    was inside the training set; synthetic_complex derives the whole
+    structure from default_rng(seed), making seed overlap structural
+    leakage even when residue counts differ."""
+    ckpt = tmp_path / "model" / "best"
+    ckpt.mkdir(parents=True)
+    with open(tmp_path / "model" / "TRAINING.json", "w") as f:
+        json.dump(dict(n_train=1024, train_seed0=200, n_val=32), f)
+
+    # overlapping the training band -> refuse
+    with pytest.raises(SystemExit, match="train seeds"):
+        eval_matrix.check_seed_disjointness(str(ckpt), 300, 48)
+    # overlapping the validation band -> refuse
+    with pytest.raises(SystemExit, match="val seeds"):
+        eval_matrix.check_seed_disjointness(str(ckpt), 60, 8)
+    # disjoint bands pass
+    eval_matrix.check_seed_disjointness(str(ckpt), 100, 48)
+    eval_matrix.check_seed_disjointness(str(ckpt), 1300, 48)
+    # explicit override downgrades to a warning
+    monkeypatch.setenv("EM_ALLOW_TRAIN_OVERLAP", "1")
+    eval_matrix.check_seed_disjointness(str(ckpt), 300, 48)
+    monkeypatch.delenv("EM_ALLOW_TRAIN_OVERLAP")
+    # no TRAINING.json (e.g. the shape baseline) -> no guard
+    eval_matrix.check_seed_disjointness(str(tmp_path / "nope"), 300, 48)

@@ -132,6 +132,52 @@ def completed_row_reusable(results, key, fingerprint):
     return False
 
 
+def check_seed_disjointness(ckpt, seed0, n_cplx):
+    """Refuse held-out bands that overlap the checkpoint's training or
+    validation seeds.
+
+    ``synthetic_complex`` derives the whole structure from
+    ``np.random.default_rng(seed)``, so two complexes with the same
+    seed share their random stream even at different residue counts —
+    seed overlap is structural leakage, not a coincidence of labels.
+    v9p trained on seeds 200..1223 (TF_SEEDS=1024), which silently
+    swallowed the planned "disjoint" second band at 300-347; this
+    guard makes that class of protocol bug impossible to repeat.
+    Override (e.g. for an explicit train-set diagnostic) with
+    EM_ALLOW_TRAIN_OVERLAP=1.
+    """
+    meta = None
+    for d in (ckpt, os.path.dirname(ckpt.rstrip("/"))):
+        p = os.path.join(d, "TRAINING.json")
+        if d and os.path.exists(p):
+            with open(p) as f:
+                meta = json.load(f)
+            break
+    if meta is None:
+        return
+    held = set(range(seed0, seed0 + n_cplx))
+    bands = {
+        "train": range(meta.get("train_seed0", 200),
+                       meta.get("train_seed0", 200)
+                       + int(meta.get("n_train", 0))),
+        "val": range(50, 50 + int(meta.get("n_val", 0))),
+    }
+    for name, band in bands.items():
+        hit = sorted(held & set(band))
+        if not hit:
+            continue
+        msg = (f"held-out band {seed0}..{seed0 + n_cplx - 1} overlaps "
+               f"the checkpoint's {name} seeds "
+               f"{band.start}..{band.stop - 1} (e.g. {hit[:4]}): "
+               f"this would evaluate on {name} complexes. Pick a "
+               f"disjoint EM_SEED0 or set EM_ALLOW_TRAIN_OVERLAP=1 "
+               f"for an explicit in-{name} diagnostic.")
+        if os.environ.get("EM_ALLOW_TRAIN_OVERLAP", "0") == "1":
+            print("WARNING (overridden):", msg, flush=True)
+        else:
+            raise SystemExit("eval_matrix: " + msg)
+
+
 def mode_dock_fn(pipe, mode, cfg, rescore_top=0):
     from deeplocalproteindocking_tpu.train.data_gen import (
         native_voxel_shift)
@@ -166,6 +212,7 @@ def main():
     seed0 = int(os.environ.get("EM_SEED0", 100))
     unbound = float(os.environ.get("EM_UNBOUND", 0.0))
     backbone = os.environ.get("EM_BACKBONE", "0") == "1"
+    check_seed_disjointness(ckpt, seed0, n_cplx)
     complexes = heldout_complexes(n_cplx, widen=widen, seed0=seed0,
                                   unbound=unbound, backbone=backbone)
     # Row-level resume: a TPU worker fault mid-matrix must not lose

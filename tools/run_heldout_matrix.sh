@@ -2,12 +2,16 @@
 # Held-out report matrix: 48 polymer-backbone unbound complexes.
 #
 # Bands (second arg, default 100): seeds SEED0..SEED0+47. 100-147 is
-# the round-3/4 report band; 300-347 is the round-5 second disjoint
-# band (never used for tuning/selection). Pool bands for the combined
-# McNemar with tools/significance.py's '+' row specs, e.g.:
+# the round-3/4 report band; 1300-1347 is the round-5 second disjoint
+# band (never used for tuning/selection). CAUTION: the flagship
+# trained on seeds 200..1223 (TF_SEED0=200, TF_SEEDS=1024) and
+# validates on 50..81 — synthetic_complex derives the structure from
+# default_rng(seed), so any band inside those ranges is training-set
+# evaluation (eval_matrix.py now refuses such bands). Pool bands for
+# the combined McNemar with tools/significance.py's '+' row specs:
 #   python tools/significance.py \
-#     "$OUT/eval_matrix_48.json:learned_local+$OUT/eval_matrix_48_band300.json:learned_local" \
-#     "$OUT/eval_matrix_48.json:shape_local+$OUT/eval_matrix_48_band300.json:shape_local"
+#     "$OUT/eval_matrix_48.json:learned_local+$OUT/eval_matrix_48_band1300.json:learned_local" \
+#     "$OUT/eval_matrix_48.json:shape_local+$OUT/eval_matrix_48_band1300.json:shape_local"
 #
 # Columns (main band only; licensing columns don't need re-running per
 # band — they license numerics, not protocols):

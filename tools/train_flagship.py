@@ -269,6 +269,7 @@ def main():
     with open(os.path.join(ckpt_dir, "TRAINING.json"), "w") as f:
         json.dump(dict(steps=steps, grid=grid, mine_every=mine_every,
                        mine_rotations=mine_rots, n_train=n_train,
+                       train_seed0=seed0,
                        unbound_rmsd=unbound, ema_decay=ema_decay,
                        n_val=n_val, best_val=best,
                        curriculum="hybrid+local+global+persistent-mined"
