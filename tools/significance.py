@@ -10,7 +10,7 @@ Usage:
     python tools/significance.py MATRIX_A.json:rowA MATRIX_B.json:rowB
 
 A spec may union several disjoint held-out bands with '+' — e.g.
-``m48.json:learned_local+m48_band300.json:learned_local`` pools the
+``m48.json:learned_local+m48_band1300.json:learned_local`` pools the
 seed-100 and seed-300 bands into one McNemar test (complex names are
 ``synth<seed>``, so bands never collide; duplicates are an error).
 
