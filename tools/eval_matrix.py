@@ -269,6 +269,12 @@ def main():
         row = eval_row(dock_fn, complexes, key,
                        partial=partial, on_progress=on_progress)
         row["fingerprint"] = fingerprint
+        # Provenance, not protocol: bf16==fp32 licensing showed hit
+        # decisions are numerics-robust, so platform is recorded for
+        # honesty but deliberately kept out of the fingerprint (a row
+        # started on CPU during a TPU outage may be finished on TPU).
+        import jax
+        row["platform"] = jax.default_backend()
         results[key] = row
         results.pop(pkey, None)
         checkpoint_row()
