@@ -177,6 +177,26 @@ class TestResplatSweep:
         # Must cover atoms + tails + receptive field.
         assert ls >= (2 * (6 + 3) / 1.0 + 2 * 3) * 0.9
 
+    def test_auto_ligand_grid_rotation_invariant_containment(self):
+        # An elongated ligand lying along the box diagonal: its
+        # per-axis extent in the given orientation is small, but under
+        # rotation inside the box its L2 radius can swing past a
+        # per-axis-sized boundary.  The box must satisfy
+        # Ls * res / 2 >= max||x|| + 3 sigma for EVERY rotation.
+        rng = np.random.default_rng(1)
+        t = rng.uniform(-1, 1, (30, 1))
+        coords = t * np.array([[7.0, 7.0, 7.0]]) \
+            + rng.normal(0, 0.3, (30, 3))          # rod along diagonal
+        res, sigma = 1.0, 1.0
+        ls = auto_ligand_grid(coords, resolution=res, sigma=sigma,
+                              receptive_field=0, grid_size=128)
+        radius = float(np.sqrt((coords ** 2).sum(axis=1).max()))
+        assert ls * res / 2.0 >= radius + 3.0 * sigma
+        # and the rotated per-axis extent indeed exceeds the naive
+        # per-axis bound this test exists to guard against
+        naive = 2.0 * (np.abs(coords).max() + 3.0 * sigma)
+        assert 2.0 * (radius + 3.0 * sigma) > naive
+
     def test_gradients_flow_through_resplat_path(self):
         # "grads through voxelizer + FFT correlator" — for real now:
         # d score / d atom coords through splat -> FFT -> gather.
