@@ -440,32 +440,29 @@ def cmd_doctor(args):
     if cfg is not None:
         from deeplocalproteindocking_tpu.correlate.fft import (
             resolve_engine)
+        from deeplocalproteindocking_tpu.sweep.resplat import (
+            FUSED_GRID_ALLOWLIST, fused_topk_decision)
         L = cfg.grid_size
         engine = resolve_engine(cfg.fft_impl, L)
         on_tpu = probe.get("ok") and probe.get("backend") == "tpu"
-        env = os.environ.get("DLPD_FUSED_TOPK", "")
-        eligible = (engine == "dft_fused" and cfg.topk_impl == "exact"
-                    and L % 32 == 0 and on_tpu)
-        if env == "0":
+        # The ONE auto-engage rule, shared with dock_sweep_resplat —
+        # doctor can never drift from what production does.  The
+        # backend comes from the hang-proof probe, not a live
+        # jax.default_backend() call.
+        engaged, det = fused_topk_decision(
+            None, engine, cfg.topk_impl, L,
+            backend="tpu" if on_tpu else str(probe.get("backend")))
+        if det["forced_off"]:
             state = "forced off (DLPD_FUSED_TOPK=0)"
-        elif not eligible:
-            why = []
-            if engine != "dft_fused":
-                why.append(f"engine resolves to {engine!r} — needs "
-                           f"dft_fused (grids >128 fall back to block)")
-            if cfg.topk_impl != "exact":
-                why.append(f"topk_impl={cfg.topk_impl!r} — needs exact")
-            if L % 32:
-                why.append(f"grid {L} % 32 != 0")
-            if not on_tpu:
-                why.append("backend is not TPU")
-            state = "ineligible: " + "; ".join(why)
-        elif L in (64, 128) or env == "1":
+        elif not det["eligible"]:
+            state = "ineligible: " + "; ".join(det["reasons"])
+        elif engaged:
             state = "auto-on"
         else:
             state = (f"eligible but auto-off: grid {L} is outside the "
-                     f"compile-validated allowlist (64, 128); "
-                     f"DLPD_FUSED_TOPK=1 forces it on")
+                     f"compile-validated allowlist "
+                     f"{FUSED_GRID_ALLOWLIST}; DLPD_FUSED_TOPK=1 "
+                     f"forces it on")
         print(f"[ok]   fused invz+topk at grid {L}: {state}")
         report["fused_topk"] = dict(grid=L, engine=engine, state=state)
 

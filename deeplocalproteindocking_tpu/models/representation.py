@@ -52,14 +52,21 @@ def shape_channels(vol: jnp.ndarray, *, core_weight: float = 12.0,
     return rep, coupling
 
 
-class _LoweringConv(nn.Module):
-    """First-layer 3-D conv with a selectable TPU lowering.
+def conv1_lowered(x: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """First-layer 3-D conv with the ``DLPD_CONV1``-selected lowering.
+
+    Functional core shared by :class:`_LoweringConv` (the Flax module)
+    and ``pipeline._folded_rep_fn`` (the rank-truncated fast path) so
+    the knob is honored on BOTH production paths — round-5 review: the
+    licensed rank-3 default built its own plain conv chain, making the
+    knob silently inert exactly where the flagship runs.
 
     The sweep's per-rotation CNN cost is conv1-heavy: its input is the
     11-type density, and 11 channels sit badly on the 128-lane VREG
     layout (the round-4 profile put the CNN at ~0.106 ms/rot vs an MXU
-    ideal of ~6 us).  ``DLPD_CONV1`` selects the lowering at trace
-    time (same restart semantics as ``DLPD_FUSED_TOPK``):
+    ideal of ~6 us).  Lowerings (selected at trace time, same restart
+    semantics as ``DLPD_FUSED_TOPK``):
 
       xla      lax.conv_general_dilated as-is (default — candidates
                are only promoted after tools/exp_conv1.py measures a
@@ -69,6 +76,46 @@ class _LoweringConv(nn.Module):
                — padded channels contribute exact zeros)
       patches  explicit im2col: conv_general_dilated_patches -> one
                [N*L^3, 27*C_in] x [27*C_in, C_out] GEMM
+
+    ``x`` is ``[..., L, L, L, C_in]`` (extra leading dims folded like
+    ``nn.Conv``); ``w`` is ``[kx, ky, kz, C_in, C_out]``; ``b`` is
+    added in ``x``'s compute dtype when given.
+    """
+    import os
+    cin = x.shape[-1]
+    feats = w.shape[-1]
+    kernel = w.shape[:3]
+    lead = x.shape[:-4]
+    x = x.reshape((-1,) + x.shape[-4:])
+    impl = os.environ.get("DLPD_CONV1", "xla")
+    if impl == "pad16":
+        pad = (-cin) % 16
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        w = jnp.pad(w, [(0, 0)] * 3 + [(0, pad), (0, 0)])
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    elif impl == "patches":
+        n, d, h, wd, _ = x.shape
+        p = jax.lax.conv_general_dilated_patches(
+            x, kernel, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        # patches feature order is (C_in, *kernel_spatial):
+        # fold the kernel to match (parity-tested vs xla).
+        wf = w.transpose(3, 0, 1, 2, 4).reshape(-1, feats)
+        y = (p.reshape(-1, p.shape[-1]) @ wf).reshape(
+            n, d, h, wd, feats)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.reshape(lead + y.shape[1:])
+
+
+class _LoweringConv(nn.Module):
+    """First-layer 3-D conv wrapping :func:`conv1_lowered`.
 
     Param tree matches ``nn.Conv`` exactly ("kernel"/"bias", lecun
     normal / zeros) so existing checkpoints load unchanged.
@@ -80,40 +127,13 @@ class _LoweringConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import os
         cin = x.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        self.kernel + (cin, self.features))
-        w = w.astype(self.dtype)
-        lead = x.shape[:-4]          # fold any extra batch dims (like
-        x = x.reshape((-1,) + x.shape[-4:])   # nn.Conv does)
-        impl = os.environ.get("DLPD_CONV1", "xla")
-        if impl == "pad16":
-            pad = (-cin) % 16
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-            w = jnp.pad(w, [(0, 0)] * 3 + [(0, pad), (0, 0)])
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        elif impl == "patches":
-            n, d, h, wd, _ = x.shape
-            p = jax.lax.conv_general_dilated_patches(
-                x, self.kernel, (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-            # patches feature order is (C_in, *kernel_spatial):
-            # fold the kernel to match (parity-tested vs xla).
-            wf = w.transpose(3, 0, 1, 2, 4).reshape(-1, self.features)
-            y = (p.reshape(-1, p.shape[-1]) @ wf).reshape(
-                n, d, h, wd, self.features)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros,
-                           (self.features,))
-            y = y + b.astype(self.dtype)
-        return y.reshape(lead + y.shape[1:])
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,)).astype(self.dtype)
+             if self.use_bias else None)
+        return conv1_lowered(x, w.astype(self.dtype), b)
 
 
 class Representation(nn.Module):

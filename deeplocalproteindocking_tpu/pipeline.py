@@ -358,7 +358,18 @@ class DockingPipeline:
         dt = jnp.dtype(cfg.compute_dtype)
         dn = ("NXYZC", "XYZIO", "NXYZC")
 
-        def conv(x, w, b):
+        from deeplocalproteindocking_tpu.models.representation import (
+            conv1_lowered)
+
+        def conv(i, x, w, b):
+            # conv0 goes through the shared DLPD_CONV1 lowering helper
+            # (round-5 review: the folded path built its own plain conv
+            # chain, leaving the knob inert on the licensed rank-3
+            # default — the one path the flagship actually runs).
+            if i == 0:
+                return conv1_lowered(
+                    x, w.astype(dt),
+                    None if b is None else b.astype(dt))
             y = jax.lax.conv_general_dilated(
                 x, w.astype(dt), (1, 1, 1), "SAME",
                 dimension_numbers=dn)
@@ -366,9 +377,10 @@ class DockingPipeline:
 
         def rep_fn(vols):
             x = vols.astype(dt)
-            for w, b in zip(kernels[:-1], biases[:-1]):
-                x = jax.nn.elu(conv(x, w, b))
-            y = conv(x, w_last, b_last).astype(jnp.float32)  # [..., r]
+            for i, (w, b) in enumerate(zip(kernels[:-1], biases[:-1])):
+                x = jax.nn.elu(conv(i, x, w, b))
+            y = conv(len(kernels) - 1, x, w_last,
+                     b_last).astype(jnp.float32)             # [..., r]
             if proj_prior is not None:
                 from deeplocalproteindocking_tpu.models.representation \
                     import shape_channels

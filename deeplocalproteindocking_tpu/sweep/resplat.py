@@ -44,6 +44,59 @@ from deeplocalproteindocking_tpu.grids.voxelize import separable_splat
 from deeplocalproteindocking_tpu.sweep.docker import DockResult
 
 
+# Grids on which the fused invz+topk kernel's Mosaic compile has been
+# validated on hardware — auto-engage is restricted to these (Mosaic
+# layout inference has rejected untested shape variants before, and a
+# long job must fail into the score-volume path, not at compile).
+FUSED_GRID_ALLOWLIST = (64, 128)
+
+
+def fused_topk_decision(fused_topk, fft_impl: str, topk_impl: str,
+                        L: int, backend: str | None = None,
+                        env: str | None = None):
+    """Resolve the tri-state fused-kernel flag to ``(engaged, detail)``.
+
+    THE single copy of the auto-engage rule — ``dock_sweep_resplat``
+    applies ``engaged`` at trace time; ``cli doctor`` renders
+    ``detail`` so operator diagnostics can never drift from what
+    production actually does (round-5 review: doctor carried a second
+    hand-written copy of this predicate).
+
+    ``fused_topk``: ``None`` -> auto (engage on eligible + allowlisted
+    grids), ``False`` -> off, ``True`` -> force past the allowlist
+    (still requires eligibility).  ``DLPD_FUSED_TOPK`` ("0"/"1")
+    overrides from the environment, read at trace time.  ``detail``
+    carries ``eligible``, human-readable ``reasons`` for
+    ineligibility, ``forced_off``, ``auto``, ``allowlisted``.
+    """
+    import os as _os
+    if env is None:
+        env = _os.environ.get("DLPD_FUSED_TOPK", "")
+    if backend is None:
+        backend = jax.default_backend()
+    reasons = []
+    if fft_impl != "dft_fused":
+        reasons.append(f"engine resolves to {fft_impl!r} — needs "
+                       f"dft_fused (grids >128 fall back to block)")
+    if topk_impl != "exact":
+        reasons.append(f"topk_impl={topk_impl!r} — needs exact")
+    if L % 32:
+        reasons.append(f"grid {L} % 32 != 0")
+    if backend != "tpu":
+        reasons.append("backend is not TPU")
+    eligible = not reasons
+    allowlisted = L in FUSED_GRID_ALLOWLIST
+    if fused_topk is None:
+        engaged = (eligible and (allowlisted or env == "1")
+                   and env != "0")
+    else:
+        engaged = bool(fused_topk) and eligible and env != "0"
+    return engaged, dict(eligible=eligible, reasons=reasons,
+                         forced_off=env == "0",
+                         auto=fused_topk is None,
+                         allowlisted=allowlisted)
+
+
 def auto_ligand_grid(lig_coords: np.ndarray, resolution: float,
                      sigma: float, receptive_field: int,
                      grid_size: int) -> int:
@@ -175,16 +228,8 @@ def dock_sweep_resplat(H: jax.Array,
     # overrides auto from the environment; it is read at TRACE time,
     # so changing it inside a process does not affect already-compiled
     # sweeps (restart semantics, like XLA_FLAGS).
-    import os as _os
-    _env = _os.environ.get("DLPD_FUSED_TOPK", "")
-    _eligible = (fft_impl == "dft_fused" and topk_impl == "exact"
-                 and L % 32 == 0
-                 and jax.default_backend() == "tpu")
-    if fused_topk is None:
-        fused_topk = (_eligible and (L in (64, 128) or _env == "1")
-                      and _env != "0")
-    else:
-        fused_topk = bool(fused_topk) and _eligible and _env != "0"
+    fused_topk, _ = fused_topk_decision(fused_topk, fft_impl,
+                                        topk_impl, L)
 
     def step(carry, inp):
         c_scores, c_rot, c_flat = carry

@@ -111,3 +111,53 @@ def test_gradients_flow_all_lowerings(setup, monkeypatch):
         g = jax.grad(loss)(params)
         gk = np.asarray(g["conv0"]["kernel"])
         assert np.isfinite(gk).all() and np.abs(gk).max() > 0
+
+
+class TestFoldedPathHonorsKnob:
+    """The rank-truncated (folded-projection) rep_fn must go through
+    the same conv1 lowering helper — round-5 review found the knob
+    silently inert on the licensed rank-3 default, the one path the
+    flagship actually runs."""
+
+    def _pipe(self, rank):
+        from deeplocalproteindocking_tpu.config import DockConfig
+        from deeplocalproteindocking_tpu.pipeline import DockingPipeline
+        cfg = DockConfig(grid_size=16, resolution=1.25,
+                         rep_features=(8, 6), shape_prior=False,
+                         num_rotations=4, rotation_chunk=2, top_k=4,
+                         coupling_rank=rank)
+        pipe = DockingPipeline(config=cfg)
+        pipe.init_params(seed=0)
+        return pipe
+
+    def test_folded_rep_fn_calls_lowering_helper(self, monkeypatch):
+        import deeplocalproteindocking_tpu.models.representation as R
+        pipe = self._pipe(rank=2)
+        calls = []
+        orig = R.conv1_lowered
+        monkeypatch.setattr(
+            R, "conv1_lowered",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        _, rep_fn = pipe._spectral_parts_uncached(
+            pipe.params["coupling"])
+        vols = jnp.asarray(
+            np.random.default_rng(0).random((2, 12, 12, 12, 11)),
+            jnp.float32)
+        rep_fn(vols)
+        assert calls, "folded rep_fn bypassed conv1_lowered"
+
+    @pytest.mark.parametrize("impl", ["pad16", "patches"])
+    def test_folded_rep_fn_lowering_parity(self, monkeypatch, impl):
+        pipe = self._pipe(rank=2)
+        vols = jnp.asarray(
+            np.random.default_rng(1).random((2, 12, 12, 12, 11)),
+            jnp.float32)
+        monkeypatch.delenv("DLPD_CONV1", raising=False)
+        _, rep_fn = pipe._spectral_parts_uncached(
+            pipe.params["coupling"])
+        want = np.asarray(rep_fn(vols))
+        monkeypatch.setenv("DLPD_CONV1", impl)
+        _, rep_fn2 = pipe._spectral_parts_uncached(
+            pipe.params["coupling"])
+        got = np.asarray(rep_fn2(vols))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -200,3 +200,24 @@ def test_seed_disjointness_guard(tmp_path, monkeypatch):
     monkeypatch.delenv("EM_ALLOW_TRAIN_OVERLAP")
     # no TRAINING.json (e.g. the shape baseline) -> no guard
     eval_matrix.check_seed_disjointness(str(tmp_path / "nope"), 300, 48)
+
+
+def test_significance_split_pooled_plus_in_path():
+    """File paths containing '+' parse correctly in pooled specs."""
+    _s = importlib.util.spec_from_file_location(
+        "significance2", os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "significance.py"))
+    sig = importlib.util.module_from_spec(_s)
+    _s.loader.exec_module(sig)
+    # path with '+' is rejoined, not mis-split
+    assert sig._split_pooled("runs/v9p+fused/m.json:learned", None) \
+        == ["runs/v9p+fused/m.json:learned"]
+    assert sig._split_pooled("a.json:r1+b.json:r2", None) \
+        == ["a.json:r1", "b.json:r2"]
+    assert sig._split_pooled("x.json:row+dir+y.json:row", None) \
+        == ["x.json:row", "dir+y.json:row"]
+    # default-path form: bare row names split as-is
+    assert sig._split_pooled("learned_local", "m.json") \
+        == ["learned_local"]
+    with pytest.raises(SystemExit, match="trailing fragment"):
+        sig._split_pooled("a.json:r1+fragment", None)

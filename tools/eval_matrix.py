@@ -160,7 +160,9 @@ def check_seed_disjointness(ckpt, seed0, n_cplx):
         "train": range(meta.get("train_seed0", 200),
                        meta.get("train_seed0", 200)
                        + int(meta.get("n_train", 0))),
-        "val": range(50, 50 + int(meta.get("n_val", 0))),
+        "val": range(meta.get("val_seed0", 50),
+                     meta.get("val_seed0", 50)
+                     + int(meta.get("n_val", 0))),
     }
     for name, band in bands.items():
         hit = sorted(held & set(band))

@@ -33,11 +33,36 @@ def _load_one(spec: str, default_path: str | None):
     return {r["name"]: r for r in d[row]["complexes"]}, row
 
 
+def _split_pooled(spec: str, default_path: str | None) -> list[str]:
+    """Split a '+'-pooled spec into components.
+
+    In the ``path:row`` form every pooled component must contain a
+    ':', so a '+'-fragment without one is part of a file path that
+    itself contains '+' (e.g. ``runs/v9p+fused/m48.json:row``) and is
+    rejoined with the next fragment instead of being mis-parsed as a
+    separate spec.  In the ``default_path`` form parts are bare row
+    names and split as-is.
+    """
+    if default_path is not None:
+        return spec.split("+")
+    parts, buf = [], ""
+    for frag in spec.split("+"):
+        buf = f"{buf}+{frag}" if buf else frag
+        if ":" in frag:
+            parts.append(buf)
+            buf = ""
+    if buf:
+        raise SystemExit(
+            f"malformed pooled spec {spec!r}: trailing fragment "
+            f"{buf!r} has no ':row' suffix")
+    return parts
+
+
 def load_row(spec: str, default_path: str | None):
     """'+'-joined specs pool disjoint bands into one per-complex dict."""
     merged: dict = {}
     rows = []
-    for part in spec.split("+"):
+    for part in _split_pooled(spec, default_path):
         one, row = _load_one(part, default_path)
         dup = set(merged) & set(one)
         if dup:

@@ -133,8 +133,9 @@ def main():
 
     complexes = make_complexes(seed0, n_train, widen=True,
                                unbound=unbound, backbone=backbone)
-    val_cplx = make_complexes(50, n_val, widen=True, unbound=unbound,
-                              backbone=backbone)
+    val_seed0 = int(os.environ.get("TF_VAL_SEED0", 50))
+    val_cplx = make_complexes(val_seed0, n_val, widen=True,
+                              unbound=unbound, backbone=backbone)
     cfg = fit_lig_grid(complexes, cfg)
     print(f"config: grid={cfg.grid_size} lig_grid={cfg.lig_grid_size} "
           f"decoys={cfg.num_decoys} global_frac={cfg.decoy_global_frac} "
@@ -271,7 +272,8 @@ def main():
                        mine_rotations=mine_rots, n_train=n_train,
                        train_seed0=seed0,
                        unbound_rmsd=unbound, ema_decay=ema_decay,
-                       n_val=n_val, best_val=best,
+                       n_val=n_val, val_seed0=val_seed0,
+                       best_val=best,
                        curriculum="hybrid+local+global+persistent-mined"
                                   "+cosine-lr+valsel+ema"
                                   + (f"+unbound{unbound}" if unbound

@@ -112,10 +112,24 @@ def main() -> int:
         for fused in ("0", "1"):
             path = os.path.join(td, f"fused{fused}.npz")
             env = dict(os.environ, DLPD_FUSED_TOPK=fused)
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--worker", path],
-                env=env, cwd=_ROOT)
+            # Hard timeout: the worker's first device op hangs forever
+            # when the TPU relay half-answers (observed round 4/5 —
+            # HTTP up, backend init wedged).  This tool runs unattended
+            # at the head of the recovery queue; a hang here stalls
+            # every queued measurement behind it, so a wedged worker
+            # must become a parseable failure instead.
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", path],
+                    env=env, cwd=_ROOT,
+                    timeout=float(os.environ.get("VFB_TIMEOUT", 900)))
+            except subprocess.TimeoutExpired:
+                print(json.dumps({
+                    "fused_batch_ok": False,
+                    "error": f"worker DLPD_FUSED_TOPK={fused} timed "
+                             f"out (TPU backend wedged?)"}))
+                return 1
             if r.returncode != 0:
                 print(json.dumps({
                     "fused_batch_ok": False,
