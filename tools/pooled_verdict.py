@@ -1,0 +1,150 @@
+"""Pool every disjoint held-out band into one learned-vs-shape verdict.
+
+The per-band matrices (``eval_matrix_48.json`` = seeds 100-147 plus
+``eval_matrix_48_band<seed0>.json`` widening bands) each carry 48
+complexes — too few to resolve a small hit-rate gap.  This tool
+discovers all bands in a checkpoint directory, verifies they are
+protocol-compatible and seed-disjoint, pools each row across bands,
+and materializes the exact-McNemar verdict for every learned-vs-shape
+pair as a JSON artifact (per-band breakdown included, platform
+provenance preserved).
+
+Pooling rules (what makes the statistic honest):
+  * Only files matching the base matrix's protocol (everything except
+    ``heldout_seeds``/``notes``) participate — the licensing columns
+    (``_rank2``/``_fp32``/...) re-grade the SAME band under different
+    knobs and must never be pooled as extra complexes.
+  * A band contributes to a pair only when BOTH rows are complete in
+    that band (McNemar is a paired test).
+  * Bands must be seed-disjoint (duplicate complex names are an
+    error, mirroring tools/significance.py).
+
+Usage:
+    python tools/pooled_verdict.py [MATRIX_DIR] [OUT.json]
+
+Defaults: ``pretrained/synthetic-v9p`` and
+``<MATRIX_DIR>/pooled_verdict.json``.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from significance import binom_tail  # noqa: E402
+
+PAIRS = [
+    ("learned_local", "shape_local"),
+    ("learned_global", "shape_global"),
+    ("learned_rerank_global", "shape_global"),
+]
+METRICS = ("hit_top1", "hit_top10")
+
+
+def _protocol_key(protocol: dict) -> dict:
+    return {k: v for k, v in protocol.items()
+            if k not in ("heldout_seeds", "notes")}
+
+
+def discover(matrix_dir: str):
+    """Base matrix + protocol-compatible ``_band*`` files, seed-sorted."""
+    base = os.path.join(matrix_dir, "eval_matrix_48.json")
+    paths = [base] if os.path.exists(base) else []
+    paths += sorted(glob.glob(
+        os.path.join(matrix_dir, "eval_matrix_48_band*.json")))
+    if not paths:
+        raise SystemExit(f"no eval_matrix files under {matrix_dir}")
+    out, ref_proto = [], None
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        proto = d.get("protocol")
+        if proto is None:        # still being written (no complete row)
+            continue
+        key = _protocol_key(proto)
+        if ref_proto is None:
+            ref_proto = key
+        elif key != ref_proto:
+            print(f"[skip] {os.path.basename(p)}: protocol differs "
+                  f"from base ({key} != {ref_proto})", file=sys.stderr)
+            continue
+        out.append((p, d))
+    return out, ref_proto
+
+
+def pool(files):
+    """{row: {complex_name: record}} + per-row band/platform provenance."""
+    pooled: dict = {}
+    prov: dict = {}
+    for path, d in files:
+        band = os.path.basename(path)
+        for row, v in d.items():
+            if not (isinstance(v, dict) and "complexes" in v):
+                continue
+            dst = pooled.setdefault(row, {})
+            for c in v["complexes"]:
+                if c["name"] in dst:
+                    raise SystemExit(
+                        f"duplicate complex {c['name']} in row {row!r} "
+                        f"({band}) — bands must be seed-disjoint")
+                dst[c["name"]] = c
+            prov.setdefault(row, []).append(
+                dict(band=band, n=len(v["complexes"]),
+                     platform=v.get("platform")))
+    return pooled, prov
+
+
+def mcnemar(a: dict, b: dict, metric: str) -> dict:
+    names = sorted(set(a) & set(b))
+    only_a = [n for n in names if a[n][metric] and not b[n][metric]]
+    only_b = [n for n in names if b[n][metric] and not a[n][metric]]
+    n_dis = len(only_a) + len(only_b)
+    return dict(
+        n=len(names),
+        a_hits=sum(bool(a[n][metric]) for n in names),
+        b_hits=sum(bool(b[n][metric]) for n in names),
+        a_only=only_a, b_only=only_b,
+        p_two_sided=binom_tail(len(only_a), n_dis) if n_dis else 1.0)
+
+
+def main():
+    matrix_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        "pretrained/synthetic-v9p"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(matrix_dir, "pooled_verdict.json")
+    files, proto = discover(matrix_dir)
+    pooled, prov = pool(files)
+    report = dict(protocol=proto,
+                  bands=[os.path.basename(p) for p, _ in files],
+                  pairs={})
+    for row_a, row_b in PAIRS:
+        a, b = pooled.get(row_a), pooled.get(row_b)
+        if not a or not b:
+            continue
+        # Restrict to complexes where BOTH rows were graded (a band
+        # with only shape_local done must not skew the paired test).
+        shared = set(a) & set(b)
+        if not shared:
+            continue
+        entry = dict(provenance={row_a: prov[row_a],
+                                 row_b: prov[row_b]})
+        for metric in METRICS:
+            m = mcnemar({k: a[k] for k in shared},
+                        {k: b[k] for k in shared}, metric)
+            entry[metric] = m
+            print(f"{row_a} vs {row_b} [{metric}] n={m['n']}: "
+                  f"{m['a_hits']}/{m['n']} vs {m['b_hits']}/{m['n']}  "
+                  f"disagreements {len(m['a_only'])}:"
+                  f"{len(m['b_only'])}  p={m['p_two_sided']:.4f}")
+        report["pairs"][f"{row_a}_vs_{row_b}"] = entry
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=2)
+    os.replace(tmp, out_path)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
