@@ -95,3 +95,35 @@ def test_partial_band_restricted_to_shared_complexes(tmp_path, capsys,
     pair = rep["pairs"]["learned_local_vs_shape_local"]
     assert pair["hit_top1"]["n"] == 4          # band1500 excluded
     assert pair["hit_top1"]["a_hits"] == 3
+
+
+def test_platform_sensitivity_substitutes_parity_rows(tmp_path,
+                                                      monkeypatch):
+    """CPU-recomputed base-band rows drive a substituted re-pool.
+
+    The parity file re-grades the SAME complexes (seeds 100+) on the
+    other platform: it must never pool as extra complexes, only feed
+    the sensitivity section (flip counts + substituted McNemar).
+    """
+    pv = _load()
+    _write(tmp_path, "eval_matrix_48.json", _matrix(100, {
+        "learned_local": [1, 1, 1, 0], "shape_local": [1, 0, 1, 0]}))
+    # CPU re-grade flips learned synth101 to a miss.
+    _write(tmp_path, "eval_matrix_48_cpu_parity.json", _matrix(100, {
+        "learned_local": [1, 0, 1, 0], "shape_local": [1, 0, 1, 0]}))
+    out = str(tmp_path / "verdict.json")
+    monkeypatch.setattr("sys.argv",
+                        ["pooled_verdict.py", str(tmp_path), out])
+    pv.main()
+    rep = json.loads(open(out).read())
+    # parity file did not join the pooled bands
+    assert rep["bands"] == ["eval_matrix_48.json"]
+    assert rep["pairs"]["learned_local_vs_shape_local"][
+        "hit_top1"]["a_hits"] == 3
+    sens = rep["platform_sensitivity"]
+    assert sens["flips"]["learned_local"]["n_flips"] == 1
+    assert sens["flips"]["learned_local"]["detail"][0]["name"] == \
+        "synth101"
+    assert sens["flips"]["shape_local"]["n_flips"] == 0
+    sub = sens["pairs"]["learned_local_vs_shape_local"]["hit_top1"]
+    assert sub["a_hits"] == 2 and sub["b_hits"] == 2

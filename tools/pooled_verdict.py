@@ -109,6 +109,70 @@ def mcnemar(a: dict, b: dict, metric: str) -> dict:
         p_two_sided=binom_tail(len(only_a), n_dis) if n_dis else 1.0)
 
 
+def platform_sensitivity(matrix_dir, files, proto, pooled):
+    """Re-pool with CPU-recomputed band-100 rows substituted.
+
+    Band 100 (``eval_matrix_48.json``) was graded on the TPU; the
+    widening bands ran on CPU.  ``eval_matrix_48_cpu_parity.json``
+    recomputes band-100's local rows on CPU under the identical
+    protocol.  Pooling across platforms is only honest if the verdict
+    is insensitive to which platform graded band 100 — this section
+    materializes that check: per-decision flip counts plus the pooled
+    local McNemar with the CPU rows substituted.
+    """
+    pp = os.path.join(matrix_dir, "eval_matrix_48_cpu_parity.json")
+    if not os.path.exists(pp):
+        return None
+    with open(pp) as f:
+        par = json.load(f)
+    if _protocol_key(par.get("protocol", {})) != proto:
+        return {"error": "parity file protocol differs; not comparable"}
+    base_path = os.path.join(matrix_dir, "eval_matrix_48.json")
+    with open(base_path) as f:
+        base = json.load(f)
+    out = {"flips": {}, "pairs": {}}
+    subst = {}
+    for row, v in par.items():
+        if not (isinstance(v, dict) and "complexes" in v):
+            continue
+        cpu_rows = {c["name"]: c for c in v["complexes"]}
+        tpu_rows = {c["name"]: c for c in base.get(row, {})
+                    .get("complexes", [])}
+        flips = [
+            dict(name=n, metric=m,
+                 tpu=tpu_rows[n][m], cpu=cpu_rows[n][m])
+            for n in sorted(set(cpu_rows) & set(tpu_rows))
+            for m in METRICS if tpu_rows[n][m] != cpu_rows[n][m]]
+        out["flips"][row] = dict(
+            n_decisions=2 * len(set(cpu_rows) & set(tpu_rows)),
+            n_flips=len(flips), detail=flips)
+        subst[row] = cpu_rows
+    for row_a, row_b in PAIRS:
+        if row_a not in subst and row_b not in subst:
+            continue
+        a = dict(pooled.get(row_a, {}))
+        b = dict(pooled.get(row_b, {}))
+        if not a or not b:
+            continue
+        for row, dst in ((row_a, a), (row_b, b)):
+            for name, rec in subst.get(row, {}).items():
+                if name in dst:
+                    dst[name] = rec
+        shared = set(a) & set(b)
+        entry = {}
+        for metric in METRICS:
+            m = mcnemar({k: a[k] for k in shared},
+                        {k: b[k] for k in shared}, metric)
+            entry[metric] = m
+            print(f"[parity-substituted] {row_a} vs {row_b} "
+                  f"[{metric}] n={m['n']}: {m['a_hits']} vs "
+                  f"{m['b_hits']}  disagreements "
+                  f"{len(m['a_only'])}:{len(m['b_only'])}  "
+                  f"p={m['p_two_sided']:.4f}")
+        out["pairs"][f"{row_a}_vs_{row_b}"] = entry
+    return out
+
+
 def main():
     matrix_dir = sys.argv[1] if len(sys.argv) > 1 else \
         "pretrained/synthetic-v9p"
@@ -139,6 +203,9 @@ def main():
                   f"disagreements {len(m['a_only'])}:"
                   f"{len(m['b_only'])}  p={m['p_two_sided']:.4f}")
         report["pairs"][f"{row_a}_vs_{row_b}"] = entry
+    sens = platform_sensitivity(matrix_dir, files, proto, pooled)
+    if sens is not None:
+        report["platform_sensitivity"] = sens
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(report, f, indent=2)
