@@ -164,6 +164,106 @@ def fig_funnels(complexes: dict, out_png: str, max_panels: int = 16):
     return True
 
 
+def fig_pooled_bands(matrix_dir: str, out_png: str,
+                     row_a: str = "learned_local",
+                     row_b: str = "shape_local",
+                     metric: str = "hit_top1"):
+    """Dumbbell plot: per-band top-1 for two methods + the pooled pair.
+
+    Form choice (dataviz method): the job is a paired comparison of two
+    identities across ordered bands — dots (no zero-baseline
+    requirement) joined by a neutral connector beat bars, whose 0–1
+    baseline would compress the 0.75–1.0 range the data lives in.
+    Identity = fixed categorical hues (slot 1 learned, slot 2 shape,
+    matching fig_hit_rates); direct labels only on the pooled pair.
+    """
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "pooled_verdict", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "pooled_verdict.py"))
+    pv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pv)
+    files, _proto = pv.discover(matrix_dir)
+
+    def rate(d, row):
+        cs = d.get(row, {}).get("complexes")
+        if not cs:
+            return None
+        return sum(bool(c.get(metric)) for c in cs) / len(cs)
+
+    bands, ra, rb = [], [], []
+    pooled_a, pooled_b = {}, {}
+    for path, d in files:
+        va, vb = rate(d, row_a), rate(d, row_b)
+        if va is None or vb is None:
+            continue
+        name = os.path.basename(path)
+        name = name.replace("eval_matrix_48", "").replace(".json", "")
+        bands.append(name.lstrip("_") or "band100")
+        ra.append(va)
+        rb.append(vb)
+        for c in d[row_a]["complexes"]:
+            pooled_a[c["name"]] = c
+        for c in d[row_b]["complexes"]:
+            pooled_b[c["name"]] = c
+    if not bands:
+        return False
+    m = None
+    shared = set(pooled_a) & set(pooled_b)
+    if shared:
+        m = pv.mcnemar({k: pooled_a[k] for k in shared},
+                       {k: pooled_b[k] for k in shared}, metric)
+        bands.append(f"pooled\nn={m['n']}")
+        ra.append(m["a_hits"] / m["n"])
+        rb.append(m["b_hits"] / m["n"])
+
+    x = np.arange(len(bands), dtype=float)
+    if m is not None:
+        x[-1] += 0.6                       # visual gap before pooled
+    fig, ax = plt.subplots(figsize=(6.0, 3.4), dpi=160)
+    fig.patch.set_facecolor(_SURFACE)
+    _style_axes(ax)
+    for xi, a, b in zip(x, ra, rb):
+        ax.plot([xi, xi], [b, a], color=_GRID, linewidth=2.0,
+                zorder=2, solid_capstyle="round")
+    # Ties overlap exactly: a 2px surface ring + concentric sizing
+    # keeps both identities visible (bullseye) instead of one dot
+    # silently hiding the other.
+    tie = np.isclose(np.asarray(ra), np.asarray(rb))
+    ax.scatter(x, rb, s=np.where(tie, 110, 46), color=_COLORS[1],
+               zorder=3, edgecolors=_SURFACE, linewidths=1.4,
+               label=row_b.replace("_local", " (local)"))
+    ax.scatter(x, ra, s=46, color=_COLORS[0], zorder=4,
+               edgecolors=_SURFACE, linewidths=1.4,
+               label=row_a.replace("_local", " (local)"))
+    if m is not None:
+        ax.text(x[-1] + 0.16, ra[-1], f"{ra[-1]:.3f}", fontsize=8,
+                color=_TEXT, va="center")
+        ax.text(x[-1] + 0.16, rb[-1], f"{rb[-1]:.3f}", fontsize=8,
+                color=_TEXT, va="center")
+        da, db = len(m["a_only"]), len(m["b_only"])
+        ax.set_title(
+            f"Held-out local top-1 by band — pooled {da}:{db}, "
+            f"p={m['p_two_sided']:.3f} (two-sided)",
+            fontsize=9, color=_TEXT, loc="left")
+    else:
+        ax.set_title("Held-out local top-1 by band", fontsize=10,
+                     color=_TEXT, loc="left")
+    ax.set_xticks(x, bands, fontsize=8)
+    ax.set_xlim(x[0] - 0.6, x[-1] + 0.9)
+    lo = min(min(ra), min(rb))
+    ax.set_ylim(max(0.0, lo - 0.06), 1.02)
+    ax.set_ylabel("top-1 hit rate", fontsize=8, color=_TEXT2)
+    handles, labels = ax.get_legend_handles_labels()
+    ax.legend(handles[::-1], labels[::-1], frameon=False, fontsize=8,
+              loc="lower left", labelcolor=_TEXT)
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=_SURFACE)
+    plt.close(fig)
+    return True
+
+
 def write_report(methods: dict, out_dir: str, figures: dict):
     lines = ["# Docking benchmark report", ""]
     lines += ["| method | complexes | top-1 | top-10 |",
@@ -199,6 +299,11 @@ def main(argv=None):
     out_dir = argv[0]
     os.makedirs(out_dir, exist_ok=True)
     methods = {}
+    if argv[1] == "--pooled":
+        png = os.path.join(out_dir, "pooled_bands.png")
+        ok = fig_pooled_bands(argv[2], png)
+        print(f"wrote {png}" if ok else "no complete band rows")
+        return 0 if ok else 2
     if argv[1] == "--matrix":
         methods = load_matrix(argv[2])
     else:
