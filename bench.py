@@ -35,6 +35,18 @@ import numpy as np
 BASELINE_SECONDS = 10.0
 
 
+def _metric_name() -> str:
+    """The workload's metric key, derived from env exactly like the
+    success record — error records must land in the SAME series they
+    stand in for (a -1.0 row tagged with the full-rank name would
+    contaminate the historical full-rank series when BENCH_RANK=3)."""
+    n_rot = int(os.environ.get("BENCH_ROTATIONS", 13000))
+    grid = int(os.environ.get("BENCH_GRID", 128))
+    rank = int(os.environ.get("BENCH_RANK", 3)) or None
+    rank_tag = "" if rank is None else f"_rank{rank}"
+    return f"full_sweep_{n_rot}rot_{grid}grid{rank_tag}_wallclock"
+
+
 def _watchdog(seconds: float):
     """Hard-exit with an explicit JSON error if the run wedges.
 
@@ -48,7 +60,7 @@ def _watchdog(seconds: float):
 
     def fire():
         print(json.dumps({
-            "metric": "full_sweep_13000rot_128grid_wallclock",
+            "metric": _metric_name(),
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
             "error": f"bench timed out after {seconds:.0f}s "
                      f"(TPU backend unreachable?)"}), flush=True)
@@ -93,7 +105,7 @@ def _relay_refused() -> bool:
 def main():
     if _relay_refused():
         print(json.dumps({
-            "metric": "full_sweep_13000rot_128grid_wallclock",
+            "metric": _metric_name(),
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
             "error": "TPU relay port refused connection "
                      "(axon relay down); bench not attempted"}),
@@ -217,9 +229,8 @@ def main():
     # (round-4 ADVICE): full rank keeps the historical metric name;
     # the licensed default (rank 3) is explicit in both the name and
     # the top-level record.
-    rank_tag = "" if rank is None else f"_rank{rank}"
     result = {
-        "metric": f"full_sweep_{n_rot}rot_{grid}grid{rank_tag}_wallclock",
+        "metric": _metric_name(),
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 3),

@@ -97,6 +97,30 @@ def test_partial_band_restricted_to_shared_complexes(tmp_path, capsys,
     assert pair["hit_top1"]["a_hits"] == 3
 
 
+def test_fingerprint_mismatch_row_is_skipped(tmp_path, capsys):
+    """A re-graded band (different dtype/rank) must not pool as extra
+    complexes even when the top-level protocol dict matches."""
+    pv = _load()
+    base = _matrix(100, {"learned_local": [1, 1, 1, 0],
+                         "shape_local": [1, 0, 1, 0]})
+    fp = dict(n_rot=16, grid=16, seed0=100, dtype="bfloat16", rank=0)
+    for row in ("learned_local", "shape_local"):
+        base[row]["fingerprint"] = dict(fp)
+    _write(tmp_path, "eval_matrix_48.json", base)
+    band = _matrix(1400, {"learned_local": [1, 1, 1, 1],
+                          "shape_local": [1, 1, 1, 1]})
+    band["learned_local"]["fingerprint"] = dict(fp, seed0=1400,
+                                                dtype="float32")
+    band["shape_local"]["fingerprint"] = dict(fp, seed0=1400)
+    _write(tmp_path, "eval_matrix_48_band1400.json", band)
+    files, _ = pv.discover(str(tmp_path))
+    pooled, prov = pv.pool(files)
+    # fp32-graded learned row skipped; matching shape row pooled
+    assert len(pooled["learned_local"]) == 4
+    assert len(pooled["shape_local"]) == 8
+    assert "fingerprint differs" in capsys.readouterr().err
+
+
 def test_platform_sensitivity_substitutes_parity_rows(tmp_path,
                                                       monkeypatch):
     """CPU-recomputed base-band rows drive a substituted re-pool.

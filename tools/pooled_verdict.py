@@ -74,15 +74,44 @@ def discover(matrix_dir: str):
     return out, ref_proto
 
 
+def _row_fp_key(fp: dict) -> dict:
+    """Row fingerprint minus the band-specific seed."""
+    return {k: v for k, v in fp.items() if k != "seed0"}
+
+
 def pool(files):
-    """{row: {complex_name: record}} + per-row band/platform provenance."""
+    """{row: {complex_name: record}} + per-row band/platform provenance.
+
+    The top-level ``protocol`` dict does not record grading knobs
+    (EM_DTYPE / EM_RANK / EM_AGG / EM_RESCORE); those live in each
+    row's ``fingerprint``.  A band row whose fingerprint differs from
+    the first-seen fingerprint for that row name (seed0 aside) is a
+    licensing re-grade or a contaminated-env run, not extra complexes
+    — it is skipped loudly.  Legacy rows without fingerprints (the
+    pre-fingerprint base matrix) pool with a warning, mirroring
+    eval_matrix's completed_row_reusable policy.
+    """
     pooled: dict = {}
     prov: dict = {}
+    ref_fp: dict = {}
     for path, d in files:
         band = os.path.basename(path)
         for row, v in d.items():
             if not (isinstance(v, dict) and "complexes" in v):
                 continue
+            fp = v.get("fingerprint")
+            if fp is not None:
+                key = _row_fp_key(fp)
+                if row not in ref_fp:
+                    ref_fp[row] = key
+                elif key != ref_fp[row]:
+                    print(f"[skip] {band}:{row}: row fingerprint "
+                          f"differs from pooled bands "
+                          f"({key} != {ref_fp[row]})", file=sys.stderr)
+                    continue
+            else:
+                print(f"[warn] {band}:{row}: legacy row without "
+                      f"fingerprint pooled unchecked", file=sys.stderr)
             dst = pooled.setdefault(row, {})
             for c in v["complexes"]:
                 if c["name"] in dst:
@@ -127,9 +156,10 @@ def platform_sensitivity(matrix_dir, files, proto, pooled):
         par = json.load(f)
     if _protocol_key(par.get("protocol", {})) != proto:
         return {"error": "parity file protocol differs; not comparable"}
-    base_path = os.path.join(matrix_dir, "eval_matrix_48.json")
-    with open(base_path) as f:
-        base = json.load(f)
+    base = next((d for p, d in files
+                 if os.path.basename(p) == "eval_matrix_48.json"), None)
+    if base is None:
+        return {"error": "base matrix not among pooled bands"}
     out = {"flips": {}, "pairs": {}}
     subst = {}
     for row, v in par.items():

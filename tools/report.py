@@ -193,7 +193,6 @@ def fig_pooled_bands(matrix_dir: str, out_png: str,
         return sum(bool(c.get(metric)) for c in cs) / len(cs)
 
     bands, ra, rb = [], [], []
-    pooled_a, pooled_b = {}, {}
     for path, d in files:
         va, vb = rate(d, row_a), rate(d, row_b)
         if va is None or vb is None:
@@ -203,12 +202,14 @@ def fig_pooled_bands(matrix_dir: str, out_png: str,
         bands.append(name.lstrip("_") or "band100")
         ra.append(va)
         rb.append(vb)
-        for c in d[row_a]["complexes"]:
-            pooled_a[c["name"]] = c
-        for c in d[row_b]["complexes"]:
-            pooled_b[c["name"]] = c
     if not bands:
         return False
+    # Pool via the verdict tool's own pool(): the figure must inherit
+    # its seed-disjointness + fingerprint guards, never diverge from
+    # the pooled_verdict.json artifact built from the same directory.
+    pooled, _prov = pv.pool(files)
+    pooled_a = pooled.get(row_a, {})
+    pooled_b = pooled.get(row_b, {})
     m = None
     shared = set(pooled_a) & set(pooled_b)
     if shared:
@@ -300,6 +301,9 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     methods = {}
     if argv[1] == "--pooled":
+        if len(argv) < 3:
+            print(__doc__)
+            return 2
         png = os.path.join(out_dir, "pooled_bands.png")
         ok = fig_pooled_bands(argv[2], png)
         print(f"wrote {png}" if ok else "no complete band rows")

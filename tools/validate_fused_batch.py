@@ -141,6 +141,19 @@ def main() -> int:
     a, b = outs["0"], outs["1"]
     diffs, ok = {}, True
     for key in ("dock_scores", "rescore_scores", "batch_scores"):
+        if a[key].shape != b[key].shape:
+            # Post-clustering pose lists are variable-length: a
+            # near-tie flip from the fused kernel's accumulation
+            # order can change which poses NMS suppresses.  A shape
+            # mismatch is a real disagreement — report it as the
+            # parseable failure the recovery queue parses, never a
+            # ValueError traceback.
+            print(json.dumps({
+                "fused_batch_ok": False,
+                "error": f"{key} shape mismatch: "
+                         f"{list(a[key].shape)} vs "
+                         f"{list(b[key].shape)}"}))
+            return 1
         d = float(np.max(np.abs(a[key] - b[key])))
         scale = float(np.max(np.abs(a[key]))) or 1.0
         diffs[key] = d
